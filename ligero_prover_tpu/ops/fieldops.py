@@ -1,0 +1,227 @@
+"""Vectorized BN254-Fr limb arithmetic in JAX (uint32 x 8, little-endian).
+
+Design notes (TPU-first):
+
+* Elements are tensors of shape (..., 8) uint32 — the same ABI as the
+  reference device bignum (``device_bignum.hpp:32-36``) so host<->device
+  marshaling is a reinterpret, never a conversion.
+* TPUs have no 64-bit scalar unit; 32x32->64 products are emulated with
+  16-bit splits (4 multiplies + carries) on the VPU.  All limb loops are
+  Python-unrolled so XLA sees straight-line vector code it can fuse.
+* Montgomery multiplication uses beta=2^256 with J = -p^-1 mod 2^256
+  exactly like the reference shaders (``shader/bn254fr.wgsl.in:101-111``):
+  mont_mul(x, y) = x*y/2^256 mod p.  NTT twiddles are stored in Montgomery
+  form so butterflies stay in the plain domain.
+* Everything returns canonical values in [0, p) unless suffixed ``_lazy``.
+
+The golden oracle is ``ligero_prover_tpu.field.bn254`` (Python ints); the
+test suite compares every op element-wise against it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..field import bn254 as F
+from ..field.limbs import int_to_limbs
+
+NLIMB = 8
+_U32 = jnp.uint32
+
+# Constant limb tables (numpy, converted lazily by jnp broadcasting)
+P_LIMBS = int_to_limbs(F.MODULUS)
+P2_LIMBS = int_to_limbs(F.MODULUS_2X)
+J_LIMBS = int_to_limbs(F.MONTGOMERY_FACTOR_NEG)  # additive-variant factor
+ZERO_LIMBS = np.zeros(NLIMB, np.uint32)
+
+
+def _limb(x, i):
+    return x[..., i]
+
+
+def add_cc(x, y):
+    """256-bit add with carry-out: returns (sum (...,8), carry (...,) u32)."""
+    outs = []
+    carry = jnp.zeros(x.shape[:-1], _U32)
+    for i in range(NLIMB):
+        a = _limb(x, i)
+        b = _limb(y, i)
+        t = a + b
+        c1 = (t < a).astype(_U32)
+        s = t + carry
+        c2 = (s < t).astype(_U32)
+        outs.append(s)
+        carry = c1 | c2
+    return jnp.stack(outs, axis=-1), carry
+
+
+def sub_cc(x, y):
+    """256-bit subtract with borrow-out: (diff, borrow)."""
+    outs = []
+    borrow = jnp.zeros(x.shape[:-1], _U32)
+    for i in range(NLIMB):
+        a = _limb(x, i)
+        b = _limb(y, i)
+        t = a - b
+        c1 = (a < b).astype(_U32)
+        s = t - borrow
+        c2 = (t < borrow).astype(_U32)
+        outs.append(s)
+        borrow = c1 | c2
+    return jnp.stack(outs, axis=-1), borrow
+
+
+def geq(x, y):
+    """Lexicographic x >= y over limbs; returns bool (...,)."""
+    gt = jnp.zeros(x.shape[:-1], bool)
+    eq = jnp.ones(x.shape[:-1], bool)
+    for i in range(NLIMB - 1, -1, -1):
+        a = _limb(x, i)
+        b = _limb(y, i)
+        gt = gt | (eq & (a > b))
+        eq = eq & (a == b)
+    return gt | eq
+
+
+def _const(shape_like, limbs: np.ndarray):
+    return jnp.asarray(limbs, _U32)
+
+
+def cond_sub(x, m_limbs: np.ndarray):
+    """x - m if x >= m else x (single conditional subtract)."""
+    m = jnp.asarray(m_limbs, _U32)
+    mb = jnp.broadcast_to(m, x.shape)
+    d, _ = sub_cc(x, mb)
+    take = geq(x, mb)[..., None]
+    return jnp.where(take, d, x)
+
+
+def addmod(x, y):
+    s, carry = add_cc(x, y)
+    # p < 2^254 and inputs < p, so no carry out of 256 bits; single cond-sub.
+    return cond_sub(s, P_LIMBS)
+
+
+def submod(x, y):
+    d, borrow = sub_cc(x, y)
+    p = jnp.broadcast_to(jnp.asarray(P_LIMBS, _U32), x.shape)
+    fix, _ = add_cc(d, p)
+    return jnp.where((borrow > 0)[..., None], fix, d)
+
+
+def negmod(x):
+    p = jnp.broadcast_to(jnp.asarray(P_LIMBS, _U32), x.shape)
+    d, _ = sub_cc(p, x)
+    is_zero = jnp.all(x == 0, axis=-1)[..., None]
+    return jnp.where(is_zero, x, d)
+
+
+def mul32(a, b):
+    """32x32 -> (lo, hi) via 16-bit splits; all ops uint32."""
+    a0 = a & 0xFFFF
+    a1 = a >> 16
+    b0 = b & 0xFFFF
+    b1 = b >> 16
+    t = a0 * b0
+    u = a1 * b0 + (t >> 16)
+    v = a0 * b1 + (u & 0xFFFF)
+    hi = a1 * b1 + (u >> 16) + (v >> 16)
+    lo = (v << 16) | (t & 0xFFFF)
+    return lo, hi
+
+
+def _acc3_add(t0, t1, t2, lo, hi):
+    """(t2:t1:t0) += (hi:lo); 96-bit accumulator of 64-bit addends."""
+    s0 = t0 + lo
+    c0 = (s0 < t0).astype(_U32)
+    s1 = t1 + hi
+    c1 = (s1 < t1).astype(_U32)
+    s1b = s1 + c0
+    c1b = (s1b < s1).astype(_U32)
+    s2 = t2 + c1 + c1b
+    return s0, s1b, s2
+
+
+def to_digits16(x):
+    """(..., 8) u32 -> (..., 16) u32 of 16-bit digits, little-endian."""
+    lo = x & 0xFFFF
+    hi = x >> 16
+    return jnp.stack([lo, hi], axis=-1).reshape(*x.shape[:-1], 2 * NLIMB)
+
+
+def mul_wide(x, y, out_limbs: int = 2 * NLIMB):
+    """256x256-bit multiply -> `out_limbs` u32 limbs (16 full, 8 = mod 2^256).
+
+    Tensorized: 16-bit digit outer product (exact in u32), anti-diagonal
+    accumulation (max 32 terms < 2^16 each, so a u32 accumulator cannot
+    overflow), then one 16-bit carry-propagation sweep.  This keeps the XLA
+    graph ~2 orders of magnitude smaller than an unrolled Comba scheme and
+    maps to large fused VPU ops.
+    """
+    nd = 2 * NLIMB                       # 16 digits in
+    out_d = 2 * out_limbs                # digits out
+    xd = to_digits16(x)
+    yd = to_digits16(y)
+    prod = xd[..., :, None] * yd[..., None, :]        # (..., 16, 16)
+    plo = prod & 0xFFFF
+    phi = prod >> 16
+    acc = jnp.zeros((*x.shape[:-1], out_d + 1), _U32)
+    for i in range(nd):
+        if i >= out_d:
+            break
+        w = min(nd, out_d - i)
+        acc = acc.at[..., i:i + w].add(plo[..., i, :w])
+        w2 = min(nd, out_d - i - 1)
+        if w2 > 0:
+            acc = acc.at[..., i + 1:i + 1 + w2].add(phi[..., i, :w2])
+    # carry propagation over 16-bit digits
+    digits = []
+    carry = jnp.zeros(x.shape[:-1], _U32)
+    for c in range(out_d):
+        v = acc[..., c] + carry
+        digits.append(v & 0xFFFF)
+        carry = v >> 16
+    limbs = [digits[2 * i] | (digits[2 * i + 1] << 16)
+             for i in range(out_limbs)]
+    return jnp.stack(limbs, axis=-1)
+
+
+def mul_lo(x, y):
+    """Low 256 bits of x*y (mod 2^256)."""
+    return mul_wide(x, y, out_limbs=NLIMB)
+
+
+def mont_mul(x, y):
+    """Montgomery product x*y/2^256 mod p, canonical output in [0, p).
+
+    t = (U + m*p) >> 256 with m = (U mod 2^256) * J mod 2^256; the low 256
+    bits of U + m*p vanish, so t = U_hi + (m*p)_hi + (U_lo != 0).
+    """
+    u = mul_wide(x, y)
+    u_lo = u[..., :NLIMB]
+    u_hi = u[..., NLIMB:]
+    j = jnp.broadcast_to(jnp.asarray(J_LIMBS, _U32), u_lo.shape)
+    m = mul_lo(u_lo, j)
+    p = jnp.broadcast_to(jnp.asarray(P_LIMBS, _U32), u_lo.shape)
+    mp = mul_wide(m, p)
+    mp_hi = mp[..., NLIMB:]
+    t, _ = add_cc(u_hi, mp_hi)
+    carry = jnp.any(u_lo != 0, axis=-1).astype(_U32)
+    # add the low-half carry (0 or 1) into t
+    one = jnp.zeros_like(t).at[..., 0].set(carry)
+    t, _ = add_cc(t, one)
+    # t < 2p for x,y < p; 2p < 2^256 so no overflow occurred above.
+    return cond_sub(t, P_LIMBS)
+
+
+def mulmod(x, y):
+    """Full modular multiply via Montgomery with a correction factor folded
+    into neither side: mont_mul(x*y) gives x*y*R^-1, so multiply by R^2."""
+    r2 = jnp.asarray(int_to_limbs(F.R * F.R % F.MODULUS), _U32)
+    t = mont_mul(x, y)
+    return mont_mul(t, jnp.broadcast_to(r2, t.shape))
+
+
+def to_np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.uint32)
