@@ -1,0 +1,115 @@
+"""Three-stage Ligero prover driver (``src/webgpu_prover.cpp:59-495``).
+
+The witnessed computation is abstracted as ``program(ctx)`` — a callable
+that executes against a stage context's backend (the WASM interpreter for
+real programs, or any constraint-building callable for tests).  It is run
+three times, exactly like the reference:
+
+  stage 1: commit   — encode every flushed row, Merkle-commit the columns
+  stage 2: checks   — accumulate code/linear/quadratic test codewords
+  stage 3: openings — gather the 192 sampled columns of every row
+
+with Fiat-Shamir seeds between stages and a final self-check of the
+decoded test codewords.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .field import bn254 as F
+from .field.limbs import limbs_to_ints
+from .params import RowGeometry, SAMPLE_SIZE, IV_ANY
+from .utils.timer import timer
+from .zkp import transcript
+from .zkp.csprng import HashRandomEngine
+from .zkp.sampling import portable_sample
+from .zkp.merkle import MerkleTree
+from .zkp.executor import TpuExecutor
+from .zkp.context import Stage1Context, Stage2Context, Stage3Context
+from .zkp.proof import serialize_proof
+
+
+@dataclass
+class ProveResult:
+    proof: bytes
+    root: bytes
+    valid_code: bool
+    valid_linear: bool
+    valid_quad: bool
+    num_rows: int = 0
+
+    @property
+    def ok(self) -> bool:
+        return self.valid_code and self.valid_linear and self.valid_quad
+
+
+def _field_sum(vals: list[int]) -> int:
+    acc = 0
+    for v in vals:
+        acc = F.addmod(acc, v)
+    return acc
+
+
+def prove(program, *, geometry: RowGeometry = RowGeometry(),
+          instance_hash: bytes = bytes(32),
+          program_hash: bytes = bytes(32),
+          encoding_seed: bytes | None = None,
+          executor: TpuExecutor | None = None,
+          batch_rows: int = 16) -> ProveResult:
+    k, l, n = geometry.k, geometry.l, geometry.n
+    if executor is None:
+        executor = TpuExecutor(k, n, batch_rows)
+    if encoding_seed is None:
+        encoding_seed = os.urandom(32)  # prover-private randomness
+
+    # Stage 1: commit ------------------------------------------------------
+    with timer("stage1"):
+        ctx1 = Stage1Context(executor, l)
+        ctx1.init_encoding_random(encoding_seed, IV_ANY)
+        program(ctx1)
+        ctx1.finalize()
+        tree = MerkleTree(ctx1.flush_digests())
+        root = tree.root
+    seed1 = transcript.stage1_seed(root, instance_hash)
+
+    # Stage 2: checks ------------------------------------------------------
+    with timer("stage2"):
+        ctx2 = Stage2Context(executor, l)
+        ctx2.init_encoding_random(encoding_seed, IV_ANY)
+        ctx2.init_witness_random(seed1, IV_ANY)
+        program(ctx2)
+        ctx2.finalize()
+        code_cw, linear_cw, quad_cw = ctx2.codewords()
+        constsum = ctx2.linear_sums()
+
+    seed2 = transcript.stage2_seed(root, code_cw, linear_cw, quad_cw)
+    engine = HashRandomEngine(seed2)
+    sample_index = sorted(portable_sample(n, SAMPLE_SIZE, engine))
+    siblings = tree.decommit(sample_index)
+
+    decoded_code = limbs_to_ints(executor.decode(code_cw))
+    decoded_linear = limbs_to_ints(executor.decode(linear_cw))
+    decoded_quad = limbs_to_ints(executor.decode(quad_cw))
+
+    # Stage 3: openings ----------------------------------------------------
+    with timer("stage3"):
+        ctx3 = Stage3Context(executor, l, sample_index)
+        ctx3.init_encoding_random(encoding_seed, IV_ANY)
+        program(ctx3)
+        ctx3.finalize()
+
+    proof = serialize_proof(
+        root, code_cw, linear_cw, quad_cw, sample_index, siblings,
+        ctx3.samplings_u32(), program_hash=program_hash, k=k, n=n)
+
+    # Self-check (``webgpu_prover.cpp:461-484``)
+    valid_code = all(v == 0 for v in decoded_code[k:])
+    valid_linear = F.addmod(_field_sum(decoded_linear[:l]), constsum) == 0
+    valid_quad = all(v == 0 for v in decoded_quad[:l])
+
+    return ProveResult(proof, root, valid_code, valid_linear, valid_quad,
+                       num_rows=len(ctx3.host_samplings))

@@ -1,0 +1,385 @@
+"""Stage contexts: drive the witness manager callbacks into the executor.
+
+These are the TPU equivalents of ``zkp/nonbatch_context.hpp``'s four
+contexts.  The reference pushes every flushed row straight to the GPU; here
+rows are queued (numpy limbs) and flushed through the executor's batched
+jitted pipelines.  Queue flushing preserves SHA absorb order and exploits
+that the stage-2/verifier accumulators are order-independent field sums.
+
+Randomness draw order is preserved exactly: code/quadratic test scalars are
+drawn from their engines at row-arrival time (matching ``check_code`` /
+``check_quadratic`` call order in the reference), and encoding randomness
+is consumed inside the witness manager during row padding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field import bn254 as F
+from ..field.limbs import ints_to_limbs
+from .backend import Backend
+from .witness import (STAGE1_POLICY, STAGE2_POLICY, STAGE3_POLICY,
+                      VERIFIER_POLICY)
+from .executor import TpuExecutor, NLIMB
+from ..params import NUM_CODE_TEST, NUM_LINEAR_TEST, NUM_QUADRATIC_TEST
+
+
+class _ContextBase:
+    """Owns the backend and wires manager callbacks."""
+
+    policy = None  # set by subclasses
+
+    def __init__(self, executor: TpuExecutor):
+        self.executor = executor
+        self.k = executor.k
+        self.n = executor.n
+
+    def _init_backend(self, l: int):
+        self.l = l
+        self.backend = Backend(l, self.k, self.policy)
+        m = self.backend.manager
+        m.linear_callback = self.linear_callback
+        m.quadratic_callback = self.quadratic_callback
+        m.mask_callback = self.mask_callback
+
+    def init_encoding_random(self, key: bytes, iv: bytes = bytes(16)):
+        self.backend.manager.encoding_random_engine.init(key, iv)
+        return self
+
+    def init_witness_random(self, key: bytes, iv: bytes = bytes(16)):
+        m = self.backend.manager
+        m.code_random_engine.init(key, iv)
+        m.linear_random_engine.init(key, iv)
+        m.quadratic_random_engine.init(key, iv)
+        return self
+
+    def linear_sums(self) -> int:
+        return self.backend.manager.constant_sum
+
+    def finalize(self):
+        self.backend.finalize()
+
+
+def _to_limbs(row: list[int], width: int) -> np.ndarray:
+    arr = np.zeros((width, NLIMB), np.uint32)
+    ints_to_limbs(row, arr[:len(row)])
+    return arr
+
+
+class Stage1Context(_ContextBase):
+    """Commit: encode every row, absorb codeword columns into n SHA states
+    (``nonbatch_context.hpp:393-581``)."""
+
+    policy = STAGE1_POLICY
+
+    def __init__(self, executor: TpuExecutor, l: int):
+        super().__init__(executor)
+        self._init_backend(l)
+        self.sha = executor.sha_init(executor.n)
+        self.rows_absorbed = 0
+        self._queue: list[np.ndarray] = []
+
+    # -- manager callbacks --
+    def linear_callback(self, row, rand):
+        self._push(row)
+
+    def quadratic_callback(self, vals, rands):
+        for i in range(3):
+            self._push(vals[i])
+
+    def mask_callback(self, code, linear, quad):
+        self._flush()
+        self._commit_2k_pair(code, linear, quad)
+
+    def _push(self, row):
+        self._queue.append(_to_limbs(row, self.k))
+        if len(self._queue) >= self.executor.batch_rows:
+            self._flush()
+
+    def _flush(self):
+        if not self._queue:
+            return
+        bsz = self.executor.batch_rows
+        batch = np.zeros((bsz, self.k, NLIMB), np.uint32)
+        cnt = len(self._queue)
+        batch[:cnt] = np.stack(self._queue)
+        self.sha = self.executor.commit_step(self.sha, batch, cnt)
+        self.rows_absorbed += cnt
+        self._queue = []
+
+    def _commit_2k_pair(self, code, linear, quad):
+        # code mask is a k-row; linear/quad masks are 2k rows
+        batch = np.zeros((self.executor.batch_rows, self.k, NLIMB), np.uint32)
+        batch[0] = _to_limbs(code, self.k)
+        self.sha = self.executor.commit_step(self.sha, batch, 1)
+        batch2 = np.zeros((2, 2 * self.k, NLIMB), np.uint32)
+        batch2[0] = _to_limbs(linear, 2 * self.k)
+        batch2[1] = _to_limbs(quad, 2 * self.k)
+        self.sha = self.executor.commit_step(self.sha, batch2, 2,
+                                             width_2k=True)
+        self.rows_absorbed += 3
+
+    def finalize(self):
+        super().finalize()   # flushes rows + masks through callbacks
+        self._flush()
+
+    def flush_digests(self) -> list[bytes]:
+        from ..ops import sha256 as jsha
+        final = self.executor.sha_finalize(self.sha, self.rows_absorbed)
+        return jsha.digests_to_bytes(final)
+
+
+class Stage2Context(_ContextBase):
+    """Checks: accumulate code/linear/quadratic test codewords
+    (``nonbatch_context.hpp:587-872``)."""
+
+    policy = STAGE2_POLICY
+
+    def __init__(self, executor: TpuExecutor, l: int):
+        super().__init__(executor)
+        self._init_backend(l)
+        import jax.numpy as jnp
+        z = jnp.zeros((executor.n, NLIMB), jnp.uint32)
+        self.accs = (z, z, z)
+        self._rows: list[np.ndarray] = []
+        self._rands: list[np.ndarray] = []
+        self._code_rs: list[np.ndarray] = []
+        self._tris: list[tuple[int, int, int, np.ndarray]] = []
+
+    def _draw_code_random(self) -> int:
+        m = self.backend.manager
+        r = 0
+        for _ in range(NUM_CODE_TEST):
+            r = m.generate_code_random()
+        return r
+
+    def _draw_quad_random(self) -> int:
+        m = self.backend.manager
+        r = 0
+        for _ in range(NUM_QUADRATIC_TEST):
+            r = m.generate_quadratic_random()
+        return r
+
+    def linear_callback(self, row, rand):
+        cr = self._draw_code_random()
+        self._enqueue_row(row, rand, cr)
+        self._maybe_flush()
+
+    def quadratic_callback(self, vals, rands):
+        base = len(self._rows)
+        if base + 3 > self.executor.batch_rows:
+            self._flush()
+            base = 0
+        crs = [self._draw_code_random() for _ in range(3)]
+        for i in range(3):
+            self._enqueue_row(vals[i], rands[i], crs[i])
+        qr = self._draw_quad_random()
+        self._tris.append((base, base + 1, base + 2,
+                           ints_to_limbs([qr])[0]))
+        self._maybe_flush()
+
+    def _enqueue_row(self, row, rand, code_r: int):
+        self._rows.append(_to_limbs(row, self.k))
+        self._rands.append(_to_limbs(rand, self.k))
+        self._code_rs.append(ints_to_limbs([code_r])[0])
+
+    def _maybe_flush(self):
+        if len(self._rows) >= self.executor.batch_rows:
+            self._flush()
+
+    def _flush(self):
+        if not self._rows:
+            return
+        bsz = self.executor.batch_rows
+        tcap = max(1, bsz // 3 + 1)
+        rows = np.zeros((bsz, self.k, NLIMB), np.uint32)
+        rands = np.zeros((bsz, self.k, NLIMB), np.uint32)
+        code_rs = np.zeros((bsz, NLIMB), np.uint32)
+        cnt = len(self._rows)
+        rows[:cnt] = np.stack(self._rows)
+        rands[:cnt] = np.stack(self._rands)
+        code_rs[:cnt] = np.stack(self._code_rs)
+        tri_idx = np.zeros((tcap, 3), np.int32)
+        tri_r = np.zeros((tcap, NLIMB), np.uint32)
+        for t, (ix, iy, iz, qr) in enumerate(self._tris):
+            tri_idx[t] = (ix, iy, iz)
+            tri_r[t] = qr
+        self.accs = self.executor.check_step(
+            self.accs, rows, rands, code_rs, tri_idx, tri_r)
+        self._rows, self._rands, self._code_rs, self._tris = [], [], [], []
+
+    def mask_callback(self, code, linear, quad):
+        self._flush()
+        self.accs = self.executor.mask_step(
+            self.accs, _to_limbs(code, self.k),
+            _to_limbs(linear, 2 * self.k), _to_limbs(quad, 2 * self.k))
+
+    def finalize(self):
+        super().finalize()
+        self._flush()
+
+    def codewords(self):
+        """Returns (code, linear, quad) as (n, 8) numpy arrays."""
+        return tuple(np.asarray(a, dtype=np.uint32) for a in self.accs)
+
+
+class Stage3Context(_ContextBase):
+    """Openings: gather the sampled columns of every row's codeword
+    (``nonbatch_context.hpp:878-1071``)."""
+
+    policy = STAGE3_POLICY
+
+    def __init__(self, executor: TpuExecutor, l: int,
+                 sample_index: list[int]):
+        super().__init__(executor)
+        self._init_backend(l)
+        self.sample_index = np.asarray(sample_index, np.int32)
+        self._queue: list[np.ndarray] = []
+        self.host_samplings: list[np.ndarray] = []  # (S, 8) per row, ordered
+
+    def linear_callback(self, row, rand):
+        self._push(row)
+
+    def quadratic_callback(self, vals, rands):
+        for i in range(3):
+            self._push(vals[i])
+
+    def mask_callback(self, code, linear, quad):
+        self._flush()
+        self._push(_to_limbs(code, self.k), raw=True)
+        self._flush()
+        batch2 = np.stack([_to_limbs(linear, 2 * self.k),
+                           _to_limbs(quad, 2 * self.k)])
+        out = self.executor.open_step(batch2, self.sample_index,
+                                      width_2k=True)
+        arr = np.asarray(out, np.uint32)
+        self.host_samplings.extend([arr[0], arr[1]])
+
+    def _push(self, row, raw=False):
+        self._queue.append(row if raw else _to_limbs(row, self.k))
+        if len(self._queue) >= self.executor.batch_rows:
+            self._flush()
+
+    def _flush(self):
+        if not self._queue:
+            return
+        bsz = self.executor.batch_rows
+        batch = np.zeros((bsz, self.k, NLIMB), np.uint32)
+        cnt = len(self._queue)
+        batch[:cnt] = np.stack(self._queue)
+        out = np.asarray(self.executor.open_step(batch, self.sample_index),
+                         np.uint32)
+        self.host_samplings.extend(out[i] for i in range(cnt))
+        self._queue = []
+
+    def finalize(self):
+        super().finalize()
+        self._flush()
+
+    def samplings_u32(self) -> np.ndarray:
+        """Flat row-major sampled data: rows x S x 8 limbs."""
+        if not self.host_samplings:
+            return np.zeros(0, np.uint32)
+        return np.concatenate([s.reshape(-1) for s in self.host_samplings])
+
+
+class VerifierContext(_ContextBase):
+    """Re-execution with opened columns (``nonbatch_context.hpp:1081-1388``)."""
+
+    policy = VERIFIER_POLICY
+
+    def __init__(self, executor: TpuExecutor, l: int,
+                 sample_index: list[int], host_samplings: np.ndarray):
+        super().__init__(executor)
+        self._init_backend(l)
+        self.sample_index = np.asarray(sample_index, np.int32)
+        self.S = len(sample_index)
+        self.sha = executor.sha_init(self.S)
+        self.rows_absorbed = 0
+        import jax.numpy as jnp
+        z = jnp.zeros((self.S, NLIMB), jnp.uint32)
+        self.accs = (z, z, z)
+        self._pop = 0
+        self._proof_samples = host_samplings.reshape(-1, self.S, NLIMB)
+        self._samples: list[np.ndarray] = []
+        self._rands: list[np.ndarray] = []
+        self._code_rs: list[np.ndarray] = []
+        self._tris: list[tuple[int, int, int, np.ndarray]] = []
+
+    def _pop_sample(self) -> np.ndarray:
+        if self._pop >= len(self._proof_samples):
+            raise ValueError("proof has too few opened rows")
+        s = self._proof_samples[self._pop]
+        self._pop += 1
+        return s
+
+    _draw_code_random = Stage2Context._draw_code_random
+    _draw_quad_random = Stage2Context._draw_quad_random
+
+    def linear_callback(self, row, rand):
+        cr = self._draw_code_random()
+        self._samples.append(self._pop_sample())
+        self._rands.append(_to_limbs(rand, self.k))
+        self._code_rs.append(ints_to_limbs([cr])[0])
+        self._maybe_flush()
+
+    def quadratic_callback(self, vals, rands):
+        base = len(self._samples)
+        if base + 3 > self.executor.batch_rows:
+            self._flush()
+            base = 0
+        crs = [self._draw_code_random() for _ in range(3)]
+        for i in range(3):
+            self._samples.append(self._pop_sample())
+            self._rands.append(_to_limbs(rands[i], self.k))
+            self._code_rs.append(ints_to_limbs([crs[i]])[0])
+        qr = self._draw_quad_random()
+        self._tris.append((base, base + 1, base + 2, ints_to_limbs([qr])[0]))
+        self._maybe_flush()
+
+    def mask_callback(self, code, linear, quad):
+        self._flush()
+        ms = np.stack([self._pop_sample() for _ in range(3)])
+        self.sha, self.accs = self.executor.verify_mask_step(
+            self.sha, self.accs, ms)
+        self.rows_absorbed += 3
+
+    def _maybe_flush(self):
+        if len(self._samples) >= self.executor.batch_rows:
+            self._flush()
+
+    def _flush(self):
+        if not self._samples:
+            return
+        bsz = self.executor.batch_rows
+        tcap = max(1, bsz // 3 + 1)
+        cnt = len(self._samples)
+        samples = np.zeros((bsz, self.S, NLIMB), np.uint32)
+        rands = np.zeros((bsz, self.k, NLIMB), np.uint32)
+        code_rs = np.zeros((bsz, NLIMB), np.uint32)
+        samples[:cnt] = np.stack(self._samples)
+        rands[:cnt] = np.stack(self._rands)
+        code_rs[:cnt] = np.stack(self._code_rs)
+        tri_idx = np.zeros((tcap, 3), np.int32)
+        tri_r = np.zeros((tcap, NLIMB), np.uint32)
+        for t, (ix, iy, iz, qr) in enumerate(self._tris):
+            tri_idx[t] = (ix, iy, iz)
+            tri_r[t] = qr
+        self.sha, self.accs = self.executor.verify_step(
+            self.sha, self.accs, samples, rands, code_rs, tri_idx, tri_r,
+            self.sample_index, cnt)
+        self.rows_absorbed += cnt
+        self._samples, self._rands, self._code_rs, self._tris = [], [], [], []
+
+    def finalize(self):
+        super().finalize()
+        self._flush()
+
+    def flush_digests(self) -> list[bytes]:
+        from ..ops import sha256 as jsha
+        final = self.executor.sha_finalize(self.sha, self.rows_absorbed)
+        return jsha.digests_to_bytes(final)
+
+    def sampled_codewords(self):
+        return tuple(np.asarray(a, dtype=np.uint32) for a in self.accs)
