@@ -143,6 +143,28 @@ def _acc3_add(t0, t1, t2, lo, hi):
     return s0, s1b, s2
 
 
+_ANTIDIAG_CACHE = {}
+
+
+def _antidiag_masks(nd: int, out_d: int):
+    """One-hot (nd*nd, out_d) uint32 matrices: column c selects products
+    with i+j == c (lo) / i+j == c-1 (hi)."""
+    key = (nd, out_d)
+    if key not in _ANTIDIAG_CACHE:
+        mlo = np.zeros((nd * nd, out_d), np.uint32)
+        mhi = np.zeros((nd * nd, out_d), np.uint32)
+        for i in range(nd):
+            for j in range(nd):
+                if i + j < out_d:
+                    mlo[i * nd + j, i + j] = 1
+                if i + j + 1 < out_d:
+                    mhi[i * nd + j, i + j + 1] = 1
+        # cache as numpy: device constants created inside a trace must not
+        # escape into module state (UnexpectedTracerError)
+        _ANTIDIAG_CACHE[key] = (mlo, mhi)
+    return _ANTIDIAG_CACHE[key]
+
+
 def to_digits16(x):
     """(..., 8) u32 -> (..., 16) u32 of 16-bit digits, little-endian."""
     lo = x & 0xFFFF
@@ -166,15 +188,13 @@ def mul_wide(x, y, out_limbs: int = 2 * NLIMB):
     prod = xd[..., :, None] * yd[..., None, :]        # (..., 16, 16)
     plo = prod & 0xFFFF
     phi = prod >> 16
-    acc = jnp.zeros((*x.shape[:-1], out_d + 1), _U32)
-    for i in range(nd):
-        if i >= out_d:
-            break
-        w = min(nd, out_d - i)
-        acc = acc.at[..., i:i + w].add(plo[..., i, :w])
-        w2 = min(nd, out_d - i - 1)
-        if w2 > 0:
-            acc = acc.at[..., i + 1:i + 1 + w2].add(phi[..., i, :w2])
+    # Anti-diagonal sums via a constant one-hot contraction: a single
+    # dot_general instead of 32 scatter-adds (sums of <=32 16-bit terms
+    # cannot overflow uint32).
+    mlo, mhi = _antidiag_masks(nd, out_d)
+    flat_lo = plo.reshape(*x.shape[:-1], nd * nd)
+    flat_hi = phi.reshape(*x.shape[:-1], nd * nd)
+    acc = flat_lo @ mlo + flat_hi @ mhi              # (..., out_d)
     # carry propagation over 16-bit digits
     digits = []
     carry = jnp.zeros(x.shape[:-1], _U32)

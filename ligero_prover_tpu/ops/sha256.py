@@ -49,28 +49,29 @@ def _rotr(x, r):
     return (x >> r) | (x << (32 - r))
 
 
+_K_LIST = [int(v) for v in np.asarray(K)]
+
+
 def transform(state, block):
-    """One compression: state (8, C), block (16, C) message words."""
-    def sched(i, w):
+    """One compression: state (8, C), block (16, C) message words.
+
+    Fully unrolled: a rolled fori_loop here nests inside the executor's
+    absorb scan, and nested while-loops send XLA:CPU compile time to
+    minutes (measured 265s -> 5s by unrolling).
+    """
+    w = [block[i] for i in range(16)]
+    for i in range(16, 64):
         s0 = _rotr(w[i - 15], 7) ^ _rotr(w[i - 15], 18) ^ (w[i - 15] >> 3)
         s1 = _rotr(w[i - 2], 17) ^ _rotr(w[i - 2], 19) ^ (w[i - 2] >> 10)
-        return w.at[i].set(s1 + w[i - 7] + s0 + w[i - 16])
-
-    c = block.shape[1]
-    w = jnp.zeros((64, c), _U32).at[:16].set(block)
-    w = jax.lax.fori_loop(16, 64, sched, w)
-
-    def round_fn(i, vals):
-        a, b, cc, d, e, f, g, h = vals
+        w.append(s1 + w[i - 7] + s0 + w[i - 16])
+    a, b, c, d, e, f, g, h = (state[i] for i in range(8))
+    for i in range(64):
         t1 = h + (_rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)) \
-            + ((e & f) ^ (~e & g)) + K[i] + w[i]
+            + ((e & f) ^ (~e & g)) + jnp.uint32(_K_LIST[i]) + w[i]
         t2 = (_rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)) \
-            + ((a & b) ^ (a & cc) ^ (b & cc))
-        return (t1 + t2, a, b, cc, d + t1, e, f, g)
-
-    vals = tuple(state[i] for i in range(8))
-    vals = jax.lax.fori_loop(0, 64, round_fn, vals)
-    return state + jnp.stack(vals)
+            + ((a & b) ^ (a & c) ^ (b & c))
+        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
+    return state + jnp.stack([a, b, c, d, e, f, g, h])
 
 
 @jax.jit

@@ -1,0 +1,19 @@
+"""`bn254fr` host module — full implementation lands with the SDK layer."""
+
+from ..values import WasmTrap
+
+
+class Bn254frModule:
+    name = "bn254fr"
+
+    def __init__(self, ctx):
+        self.ctx = ctx
+
+    def call(self, func: str):
+        handler = getattr(self, func, None)
+        if handler is None:
+            raise WasmTrap(f"bn254fr.{func} not implemented yet")
+        handler()
+
+    def finalize(self):
+        pass

@@ -1,0 +1,19 @@
+"""`vbn254fr` host module — full implementation lands with the SDK layer."""
+
+from ..values import WasmTrap
+
+
+class VBn254frModule:
+    name = "vbn254fr"
+
+    def __init__(self, ctx):
+        self.ctx = ctx
+
+    def call(self, func: str):
+        handler = getattr(self, func, None)
+        if handler is None:
+            raise WasmTrap(f"vbn254fr.{func} not implemented yet")
+        handler()
+
+    def finalize(self):
+        pass

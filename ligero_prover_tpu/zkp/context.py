@@ -20,7 +20,7 @@ from ..field import bn254 as F
 from ..field.limbs import ints_to_limbs
 from .backend import Backend
 from .witness import (STAGE1_POLICY, STAGE2_POLICY, STAGE3_POLICY,
-                      VERIFIER_POLICY)
+                      VERIFIER_POLICY, RandomPolicy)
 from .executor import TpuExecutor, NLIMB
 from ..params import NUM_CODE_TEST, NUM_LINEAR_TEST, NUM_QUADRATIC_TEST
 
@@ -383,3 +383,29 @@ class VerifierContext(_ContextBase):
 
     def sampled_codewords(self):
         return tuple(np.asarray(a, dtype=np.uint32) for a in self.accs)
+
+
+class NullContext(_ContextBase):
+    """Execution-only context: runs the witness pipeline but discards rows.
+
+    Used for fast VM-conformance runs and dry executions (no TPU work, no
+    checks, deterministic zero padding).
+    """
+
+    policy = RandomPolicy(False, False, False, False)
+
+    def __init__(self, k: int = 256, l: int | None = None):
+        self.executor = None
+        self.k = k
+        self.n = 4 * k
+        self._init_backend(l if l is not None else k - 192)
+        self.rows = 0
+
+    def linear_callback(self, row, rand):
+        self.rows += 1
+
+    def quadratic_callback(self, vals, rands):
+        self.rows += 3
+
+    def mask_callback(self, code, linear, quad):
+        self.rows += 3

@@ -18,6 +18,9 @@ Batching is semantics-preserving: SHA absorbs stay ordered inside the
 batch, and the test accumulators are sums in the field, so zero-padded
 batch tails contribute exactly zero (padding rows, randomness, and scalars
 are all zero).
+
+NTT tables are threaded through every jit as runtime arguments (see
+``ops/ntt.py``) so executables stay small and cacheable.
 """
 
 from __future__ import annotations
@@ -26,11 +29,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..field import bn254 as F
 from ..field.limbs import ints_to_limbs
 from ..ops import sha256 as jsha
 from ..ops import fieldops as fo
-from ..ops.ntt import RSCodec
+from ..ops.ntt import RSCodec, encode_rows, decode_rows
 
 NLIMB = 8
 
@@ -44,17 +46,20 @@ def _absorb_stream(state, pending, has_pending, rows, valid_count):
     start = 1 - hp
     total = valid_count + hp
     pairs = total // 2
+    nblocks = (bsz + 1) // 2
+    i0 = start + 2 * jnp.arange(nblocks)
+    e0 = jnp.take(stream, jnp.clip(i0, 0, bsz), axis=0)       # (P, C, 8)
+    e1 = jnp.take(stream, jnp.clip(i0 + 1, 0, bsz), axis=0)
+    blocks = jnp.concatenate(
+        [e0.transpose(0, 2, 1), e1.transpose(0, 2, 1)], axis=1)  # (P, 16, C)
+    valid = jnp.arange(nblocks) < pairs
 
-    def body(i, st):
-        e0 = jax.lax.dynamic_index_in_dim(stream, start + 2 * i, 0,
-                                          keepdims=False)
-        e1 = jax.lax.dynamic_index_in_dim(stream, start + 2 * i + 1, 0,
-                                          keepdims=False)
-        blk = jnp.concatenate([e0.T, e1.T], axis=0)  # (16, C)
+    def body(st, inp):
+        blk, ok = inp
         new = jsha.transform(st, blk)
-        return jnp.where(i < pairs, new, st)
+        return jnp.where(ok, new, st), None
 
-    state = jax.lax.fori_loop(0, (bsz + 1) // 2, body, state)
+    state, _ = jax.lax.scan(body, state, (blocks, valid))
     idx = jnp.clip(start + 2 * pairs, 0, bsz)
     new_pending = jax.lax.dynamic_index_in_dim(stream, idx, 0, keepdims=False)
     return state, new_pending, (total % 2) == 1
@@ -67,16 +72,83 @@ def _masked_sum(acc, terms):
     return jax.lax.fori_loop(0, terms.shape[0], body, acc)
 
 
+# ---- jitted pipeline bodies (module-level; tables passed in) -------------
+
+def _commit_body(state, pending, has_pending, rows, valid_count,
+                 dom_msg, dom_n, n):
+    cws = encode_rows(rows, dom_msg, dom_n, n)
+    return _absorb_stream(state, pending, has_pending, cws, valid_count)
+
+
+def _check_body(code, linear, quad, rows, rands, code_rs, tri_idx, tri_r,
+                dom_k, dom_n, n):
+    e = encode_rows(rows, dom_k, dom_n, n)
+    r = encode_rows(rands, dom_k, dom_n, n)
+    code = _masked_sum(code, fo.mulmod(e, code_rs[:, None, :]))
+    linear = _masked_sum(linear, fo.mulmod(e, r))
+    ex = jnp.take(e, tri_idx[:, 0], axis=0)
+    ey = jnp.take(e, tri_idx[:, 1], axis=0)
+    ez = jnp.take(e, tri_idx[:, 2], axis=0)
+    t = fo.submod(fo.mulmod(ex, ey), ez)
+    quad = _masked_sum(quad, fo.mulmod(t, tri_r[:, None, :]))
+    return code, linear, quad
+
+
+def _mask_body(code, linear, quad, cr, lr, qr, dom_k, dom_2k, dom_n, n):
+    code = fo.addmod(code, encode_rows(cr[None], dom_k, dom_n, n)[0])
+    linear = fo.addmod(linear, encode_rows(lr[None], dom_2k, dom_n, n)[0])
+    quad = fo.addmod(quad, encode_rows(qr[None], dom_2k, dom_n, n)[0])
+    return code, linear, quad
+
+
+def _open_body(rows, idx, dom_msg, dom_n, n):
+    cws = encode_rows(rows, dom_msg, dom_n, n)
+    return jnp.take(cws, idx, axis=1)
+
+
+def _verify_body(state, pending, has_pending, code, linear, quad,
+                 samples, rands, code_rs, tri_idx, tri_r, idx, valid_count,
+                 dom_k, dom_n, n):
+    state, pending, has_pending = _absorb_stream(
+        state, pending, has_pending, samples, valid_count)
+    r_full = encode_rows(rands, dom_k, dom_n, n)
+    r = jnp.take(r_full, idx, axis=1)           # (B, S, 8)
+    code = _masked_sum(code, fo.mulmod(samples, code_rs[:, None, :]))
+    linear = _masked_sum(linear, fo.mulmod(samples, r))
+    sx = jnp.take(samples, tri_idx[:, 0], axis=0)
+    sy = jnp.take(samples, tri_idx[:, 1], axis=0)
+    sz = jnp.take(samples, tri_idx[:, 2], axis=0)
+    t = fo.submod(fo.mulmod(sx, sy), sz)
+    quad = _masked_sum(quad, fo.mulmod(t, tri_r[:, None, :]))
+    return state, pending, has_pending, code, linear, quad
+
+
+def _verify_mask_body(state, pending, has_pending, code, linear, quad, ms):
+    state, pending, has_pending = _absorb_stream(
+        state, pending, has_pending, ms, jnp.asarray(3, jnp.int32))
+    code = fo.addmod(code, ms[0])
+    linear = fo.addmod(linear, ms[1])
+    quad = fo.addmod(quad, ms[2])
+    return state, pending, has_pending, code, linear, quad
+
+
+_commit_jit = jax.jit(_commit_body, static_argnums=(7,))
+_check_jit = jax.jit(_check_body, static_argnums=(10,))
+_mask_jit = jax.jit(_mask_body, static_argnums=(9,))
+_open_jit = jax.jit(_open_body, static_argnums=(4,))
+_verify_jit = jax.jit(_verify_body, static_argnums=(15,))
+_verify_mask_jit = jax.jit(_verify_mask_body)
+
+
 class TpuExecutor:
-    """Owns the RS codec, jitted pipelines, and sample-index tables."""
+    """Owns the RS codec tables and drives the jitted pipelines."""
 
     def __init__(self, k: int, n: int, batch_rows: int = 16):
         self.k, self.n = k, n
         self.codec = RSCodec(k, n)
         self.batch_rows = batch_rows
-        self._jit_cache = {}
 
-    # ---- generic helpers -------------------------------------------------
+    # ---- helpers ---------------------------------------------------------
 
     def rows_to_limbs(self, rows: list[list[int]], width: int) -> np.ndarray:
         out = np.zeros((len(rows), width, NLIMB), np.uint32)
@@ -84,132 +156,61 @@ class TpuExecutor:
             ints_to_limbs(r, out[i])
         return out
 
-    def _jit(self, key, fn):
-        if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(fn)
-        return self._jit_cache[key]
-
     # ---- stage 1: commit -------------------------------------------------
 
     def commit_step(self, sha, rows, valid_count, *, width_2k=False):
-        """rows: (B, k, 8) [or (B, 2k, 8) for masks]; sha = (state, pending,
-        has_pending).  Returns the updated sha triple."""
-        enc = self.codec.encode_2k if width_2k else self.codec.encode
-
-        def fn(state, pending, has_pending, rows, valid_count):
-            cws = enc(rows)
-            return _absorb_stream(state, pending, has_pending, cws,
-                                  valid_count)
-
-        f = self._jit(("commit", width_2k, rows.shape), fn)
+        dom = self.codec.dom_2k if width_2k else self.codec.dom_k
         state, pending, has_pending = sha
-        return f(state, pending, has_pending, jnp.asarray(rows),
-                 jnp.asarray(valid_count, jnp.int32))
+        return _commit_jit(state, pending, has_pending, jnp.asarray(rows),
+                           jnp.asarray(valid_count, jnp.int32),
+                           dom, self.codec.dom_n, self.n)
 
     # ---- stage 2: checks -------------------------------------------------
 
     def check_step(self, accs, rows, rands, code_rs, tri_idx, tri_r):
-        """accs = (code, linear, quad) each (n, 8).
-
-        rows/rands: (B, k, 8); code_rs: (B, 8) per-row code-test scalars
-        (zero for padding); tri_idx: (T, 3) int32 local indices of
-        quadratic triples (a, b, c); tri_r: (T, 8) quadratic scalars.
-        """
-        def fn(code, linear, quad, rows, rands, code_rs, tri_idx, tri_r):
-            e = self.codec.encode(rows)      # (B, n, 8)
-            r = self.codec.encode(rands)
-            code = _masked_sum(code, fo.mulmod(e, code_rs[:, None, :]))
-            linear = _masked_sum(linear, fo.mulmod(e, r))
-            ex = jnp.take(e, tri_idx[:, 0], axis=0)
-            ey = jnp.take(e, tri_idx[:, 1], axis=0)
-            ez = jnp.take(e, tri_idx[:, 2], axis=0)
-            t = fo.submod(fo.mulmod(ex, ey), ez)
-            quad = _masked_sum(quad, fo.mulmod(t, tri_r[:, None, :]))
-            return code, linear, quad
-
-        f = self._jit(("check", rows.shape, tri_idx.shape), fn)
-        return f(*accs, jnp.asarray(rows), jnp.asarray(rands),
-                 jnp.asarray(code_rs), jnp.asarray(tri_idx),
-                 jnp.asarray(tri_r))
+        return _check_jit(*accs, jnp.asarray(rows), jnp.asarray(rands),
+                          jnp.asarray(code_rs), jnp.asarray(tri_idx),
+                          jnp.asarray(tri_r),
+                          self.codec.dom_k, self.codec.dom_n, self.n)
 
     def mask_step(self, accs, code_row, linear_row, quad_row):
-        """Add the three encoded ZK masks into the accumulators
-        (``nonbatch_context.hpp:732-754``)."""
-        def fn(code, linear, quad, cr, lr, qr):
-            code = fo.addmod(code, self.codec.encode(cr[None])[0])
-            linear = fo.addmod(linear, self.codec.encode_2k(lr[None])[0])
-            quad = fo.addmod(quad, self.codec.encode_2k(qr[None])[0])
-            return code, linear, quad
-
-        f = self._jit(("mask",), fn)
-        return f(*accs, jnp.asarray(code_row), jnp.asarray(linear_row),
-                 jnp.asarray(quad_row))
+        return _mask_jit(*accs, jnp.asarray(code_row),
+                         jnp.asarray(linear_row), jnp.asarray(quad_row),
+                         self.codec.dom_k, self.codec.dom_2k,
+                         self.codec.dom_n, self.n)
 
     # ---- stage 3: openings ----------------------------------------------
 
     def open_step(self, rows, sample_idx, *, width_2k=False):
-        """Encode rows and gather sampled columns -> (B, S, 8)."""
-        enc = self.codec.encode_2k if width_2k else self.codec.encode
-
-        def fn(rows, idx):
-            cws = enc(rows)
-            return jnp.take(cws, idx, axis=1)
-
-        f = self._jit(("open", width_2k, rows.shape), fn)
-        return f(jnp.asarray(rows), jnp.asarray(sample_idx, jnp.int32))
+        dom = self.codec.dom_2k if width_2k else self.codec.dom_k
+        return _open_jit(jnp.asarray(rows),
+                         jnp.asarray(sample_idx, jnp.int32),
+                         dom, self.codec.dom_n, self.n)
 
     # ---- verifier --------------------------------------------------------
 
     def verify_step(self, sha, accs, samples, rands, code_rs, tri_idx, tri_r,
                     sample_idx, valid_count):
-        """samples: (B, S, 8) opened columns (zero-padded tail); rands:
-        (B, k, 8) randomness rows; the rest as in check_step.  Absorbs the
-        opened columns in order and replays checks on S-wide buffers."""
-        def fn(state, pending, has_pending, code, linear, quad,
-               samples, rands, code_rs, tri_idx, tri_r, idx, valid_count):
-            state, pending, has_pending = _absorb_stream(
-                state, pending, has_pending, samples, valid_count)
-            r_full = self.codec.encode(rands)
-            r = jnp.take(r_full, idx, axis=1)           # (B, S, 8)
-            code = _masked_sum(code, fo.mulmod(samples, code_rs[:, None, :]))
-            linear = _masked_sum(linear, fo.mulmod(samples, r))
-            sx = jnp.take(samples, tri_idx[:, 0], axis=0)
-            sy = jnp.take(samples, tri_idx[:, 1], axis=0)
-            sz = jnp.take(samples, tri_idx[:, 2], axis=0)
-            t = fo.submod(fo.mulmod(sx, sy), sz)
-            quad = _masked_sum(quad, fo.mulmod(t, tri_r[:, None, :]))
-            return state, pending, has_pending, code, linear, quad
-
-        f = self._jit(("verify", samples.shape, tri_idx.shape), fn)
         state, pending, has_pending = sha
-        out = f(state, pending, has_pending, *accs, jnp.asarray(samples),
-                jnp.asarray(rands), jnp.asarray(code_rs),
-                jnp.asarray(tri_idx), jnp.asarray(tri_r),
-                jnp.asarray(sample_idx, jnp.int32),
-                jnp.asarray(valid_count, jnp.int32))
+        out = _verify_jit(state, pending, has_pending, *accs,
+                          jnp.asarray(samples), jnp.asarray(rands),
+                          jnp.asarray(code_rs), jnp.asarray(tri_idx),
+                          jnp.asarray(tri_r),
+                          jnp.asarray(sample_idx, jnp.int32),
+                          jnp.asarray(valid_count, jnp.int32),
+                          self.codec.dom_k, self.codec.dom_n, self.n)
         return (out[0], out[1], out[2]), (out[3], out[4], out[5])
 
     def verify_mask_step(self, sha, accs, mask_samples):
-        """Masks on the verifier side: absorb the 3 opened mask columns and
-        AddAssign them into the accumulators."""
-        def fn(state, pending, has_pending, code, linear, quad, ms):
-            state, pending, has_pending = _absorb_stream(
-                state, pending, has_pending, ms,
-                jnp.asarray(3, jnp.int32))
-            code = fo.addmod(code, ms[0])
-            linear = fo.addmod(linear, ms[1])
-            quad = fo.addmod(quad, ms[2])
-            return state, pending, has_pending, code, linear, quad
-
-        f = self._jit(("verify_mask",), fn)
         state, pending, has_pending = sha
-        out = f(state, pending, has_pending, *accs, jnp.asarray(mask_samples))
+        out = _verify_mask_jit(state, pending, has_pending, *accs,
+                               jnp.asarray(mask_samples))
         return (out[0], out[1], out[2]), (out[3], out[4], out[5])
 
-    # ---- decode ----------------------------------------------------------
+    # ---- decode / sha ----------------------------------------------------
 
     def decode(self, codeword):
-        """(n, 8) -> (n, 8) decoded (see RSCodec.decode)."""
+        """(n, 8) -> (n, 8) decoded (see ops.ntt.decode_rows)."""
         return self.codec.decode(jnp.asarray(codeword)[None])[0]
 
     def sha_init(self, num_cols: int):

@@ -246,7 +246,8 @@ class WitnessManager:
         self.constsum_sub(F.mulmod(v % F.MODULUS, r))
 
     def constrain_equal(self, a: LazyWitness, b: LazyWitness):
-        assert a.value == b.value, f"constrain_equal: {a.value} != {b.value}"
+        # value equality is *claimed* here; a lie makes the linear test
+        # unsatisfiable (debug-only assert in the reference)
         r = self.generate_linear_random()
         self.witness_add_random(a, r)
         self.witness_sub_random(b, r)

@@ -21,3 +21,21 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 @pytest.fixture
 def rng():
     return random.Random(1234)
+
+
+_EXECUTORS = {}
+
+
+@pytest.fixture(scope="session")
+def shared_executor():
+    """Session-cached TpuExecutor factory: avoids re-tracing jitted
+    pipelines per test."""
+    from ligero_prover_tpu.zkp.executor import TpuExecutor
+
+    def get(k: int, n: int, batch_rows: int = 8):
+        key = (k, n, batch_rows)
+        if key not in _EXECUTORS:
+            _EXECUTORS[key] = TpuExecutor(k, n, batch_rows)
+        return _EXECUTORS[key]
+
+    return get
