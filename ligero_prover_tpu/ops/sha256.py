@@ -49,29 +49,36 @@ def _rotr(x, r):
     return (x >> r) | (x << (32 - r))
 
 
-_K_LIST = [int(v) for v in np.asarray(K)]
-
-
 def transform(state, block):
     """One compression: state (8, C), block (16, C) message words.
 
-    Fully unrolled: a rolled fori_loop here nests inside the executor's
-    absorb scan, and nested while-loops send XLA:CPU compile time to
-    minutes (measured 265s -> 5s by unrolling).
+    XLA:CPU compile-time law (measured): loops nested two deep
+    (scan-of-fori) take minutes; very large unrolled bodies take minutes on
+    *multi-device* builds.  A rolled transform called from a
+    Python-unrolled (small, static) block loop avoids both regimes — this
+    function must therefore never be wrapped in lax.scan/fori_loop.
     """
-    w = [block[i] for i in range(16)]
-    for i in range(16, 64):
+    c = block.shape[1]
+    w = jnp.zeros((64, c), _U32).at[:16].set(block)
+
+    def sched(i, w):
         s0 = _rotr(w[i - 15], 7) ^ _rotr(w[i - 15], 18) ^ (w[i - 15] >> 3)
         s1 = _rotr(w[i - 2], 17) ^ _rotr(w[i - 2], 19) ^ (w[i - 2] >> 10)
-        w.append(s1 + w[i - 7] + s0 + w[i - 16])
-    a, b, c, d, e, f, g, h = (state[i] for i in range(8))
-    for i in range(64):
+        return w.at[i].set(s1 + w[i - 7] + s0 + w[i - 16])
+
+    w = jax.lax.fori_loop(16, 64, sched, w)
+
+    def round_fn(i, vals):
+        a, b, cc, d, e, f, g, h = vals
         t1 = h + (_rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)) \
-            + ((e & f) ^ (~e & g)) + jnp.uint32(_K_LIST[i]) + w[i]
+            + ((e & f) ^ (~e & g)) + K[i] + w[i]
         t2 = (_rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)) \
-            + ((a & b) ^ (a & c) ^ (b & c))
-        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-    return state + jnp.stack([a, b, c, d, e, f, g, h])
+            + ((a & b) ^ (a & cc) ^ (b & cc))
+        return (t1 + t2, a, b, cc, d + t1, e, f, g)
+
+    vals = jax.lax.fori_loop(0, 64, round_fn,
+                             tuple(state[i] for i in range(8)))
+    return state + jnp.stack(vals)
 
 
 @jax.jit
@@ -80,13 +87,10 @@ def absorb_pairs(state, blocks, valid):
 
     state: (8, C); blocks: (P, 16, C); valid: (P,) bool.  Invalid slots
     leave the state untouched, so the executor can pad to a fixed P.
+    Unrolled over P (see transform's compile-time note).
     """
-    def body(st, inp):
-        blk, ok = inp
-        new = transform(st, blk)
-        return jnp.where(ok, new, st), None
-
-    state, _ = jax.lax.scan(body, state, (blocks, valid))
+    for i in range(blocks.shape[0]):
+        state = jnp.where(valid[i], transform(state, blocks[i]), state)
     return state
 
 

@@ -53,13 +53,10 @@ def _absorb_stream(state, pending, has_pending, rows, valid_count):
     blocks = jnp.concatenate(
         [e0.transpose(0, 2, 1), e1.transpose(0, 2, 1)], axis=1)  # (P, 16, C)
     valid = jnp.arange(nblocks) < pairs
-
-    def body(st, inp):
-        blk, ok = inp
-        new = jsha.transform(st, blk)
-        return jnp.where(ok, new, st), None
-
-    state, _ = jax.lax.scan(body, state, (blocks, valid))
+    # Python-unrolled block loop: see ops/sha256.transform for why this
+    # must not be a lax.scan.
+    for i in range(nblocks):
+        state = jnp.where(valid[i], jsha.transform(state, blocks[i]), state)
     idx = jnp.clip(start + 2 * pairs, 0, bsz)
     new_pending = jax.lax.dynamic_index_in_dim(stream, idx, 0, keepdims=False)
     return state, new_pending, (total % 2) == 1

@@ -1,8 +1,8 @@
 import os
 
-# Force CPU with a virtual 8-device mesh for sharding tests; the real TPU is
-# exercised only by bench.py.  Must run before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with a virtual 8-device mesh for sharding tests; the real TPU
+# is exercised only by bench.py.  NOTE: the axon harness overrides the
+# JAX_PLATFORMS env var, so the config API must be used instead.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,8 +13,9 @@ import random  # noqa: E402
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/ligero_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 

@@ -68,8 +68,7 @@ def bits_program(ctx):
     del x, bits, y, gt, eq
 
 
-@pytest.mark.parametrize("program", [simple_program, wide_program,
-                                     bits_program])
+@pytest.mark.parametrize("program", [simple_program, bits_program])
 def test_prove_verify_roundtrip(program):
     res = prove(program, geometry=GEO, executor=executor(),
                 encoding_seed=bytes(range(32)))

@@ -19,8 +19,9 @@ REF_TESTS = "/root/reference/tests"
 ALL_WATS = sorted(glob.glob(os.path.join(REF_TESTS, "*.wat")))
 
 # Tests using memory intrinsics need wasi/env only; all are runnable.
-FAST_PROOF_SUBSET = ["i32_add.wat", "i32_sub.wat", "i32_xor.wat",
-                     "i64_mul.wat", "i32_eqz.wat"]
+FAST_PROOF_SUBSET = ["i32_add.wat", "i32_eqz.wat"]
+SLOW_PROOF_SUBSET = ["i32_sub.wat", "i32_xor.wat", "i64_mul.wat",
+                     "i32_div_s.wat", "i64_shl.wat", "i32_rotl.wat"]
 
 ARGS = [b"Ligero\x00"]
 
@@ -50,3 +51,9 @@ def test_prove_verify(wat, shared_executor):
     assert res.ok, f"{wat}: prover self-check failed {res}"
     v = verify(prog, res.proof, geometry=geo, executor=ex)
     assert v.ok, f"{wat}: verification failed {v}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("wat", SLOW_PROOF_SUBSET)
+def test_prove_verify_slow(wat, shared_executor):
+    test_prove_verify.__wrapped__(wat, shared_executor)
