@@ -243,5 +243,36 @@ def mulmod(x, y):
     return mont_mul(t, jnp.broadcast_to(r2, t.shape))
 
 
+_PM2_BITS = np.array([(F.MODULUS - 2) >> i & 1 for i in range(F.NUM_BITS)],
+                     np.uint32)
+
+
+def invmod(x):
+    """Fermat inverse x^(p-2), rolled Montgomery square-and-multiply ladder
+    (the Pallas/WGSL-equivalent of ``shader/bn254fr.wgsl.in:128``).
+    invmod(0) = 0."""
+    import jax
+    r2 = jnp.broadcast_to(jnp.asarray(int_to_limbs(F.R * F.R % F.MODULUS),
+                                      _U32), x.shape)
+    xm = mont_mul(x, r2)                        # x*R
+    accm = jnp.broadcast_to(jnp.asarray(int_to_limbs(F.R % F.MODULUS), _U32),
+                            x.shape)            # 1 in Montgomery form
+    bits = jnp.asarray(_PM2_BITS)
+
+    def body(i, acc):
+        b = bits[F.NUM_BITS - 1 - i]
+        acc = mont_mul(acc, acc)
+        return jnp.where(b == 1, mont_mul(acc, xm), acc)
+
+    acc = jax.lax.fori_loop(0, F.NUM_BITS, body, accm)
+    one = jnp.zeros_like(x).at[..., 0].set(1)
+    return mont_mul(acc, one)                   # leave the Montgomery domain
+
+
+def divmod_(x, y):
+    """x / y in the field; x/0 = 0 (Fermat convention)."""
+    return mulmod(x, invmod(y))
+
+
 def to_np(x) -> np.ndarray:
     return np.asarray(x, dtype=np.uint32)

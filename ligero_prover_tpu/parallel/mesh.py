@@ -68,8 +68,8 @@ class ShardedProver:
         n_local = n // D
 
         def step(state, pending, has_pending, rows, rands, valid_count,
-                 code_rs, tri_idx, tri_r, code, linear, quad, sample_idx,
-                 dom_k, dom_n):
+                 code_rs, tri_idx, tri_r, pair_idx, pair_r,
+                 code, linear, quad, sample_idx, dom_k, dom_n):
             # local shapes: state (8, n/D); rows (B/D, k, 8); accs (n/D, 8)
             e_rows = encode_rows(rows, dom_k, dom_n, n)    # (B/D, n, 8)
             r_rows = encode_rows(rands, dom_k, dom_n, n)
@@ -87,6 +87,10 @@ class ShardedProver:
             ez = jnp.take(e, tri_idx[:, 2], axis=0)
             t = fo.submod(fo.mulmod(ex, ey), ez)
             quad = _masked_sum(quad, fo.mulmod(t, tri_r[:, None, :]))
+            px = jnp.take(e, pair_idx[:, 0], axis=0)
+            py = jnp.take(e, pair_idx[:, 1], axis=0)
+            d = fo.submod(px, py)
+            quad = _masked_sum(quad, fo.mulmod(d, pair_r[:, None, :]))
             # sampled openings: local gather + psum (each col owned once)
             offset = jax.lax.axis_index("dev") * n_local
             local_idx = sample_idx - offset
@@ -103,7 +107,8 @@ class ShardedProver:
         self.step = jax.jit(jax.shard_map(
             step, mesh=self.mesh,
             in_specs=(pspec_state, pspec_cols, rep, pspec_rows, pspec_rows,
-                      rep, rep, rep, rep, pspec_cols, pspec_cols, pspec_cols,
+                      rep, rep, rep, rep, rep, rep,
+                      pspec_cols, pspec_cols, pspec_cols,
                       rep, rep, rep),
             out_specs=(pspec_state, pspec_cols, rep, pspec_cols, pspec_cols,
                        pspec_cols, rep),
@@ -118,12 +123,17 @@ class ShardedProver:
         return state, pending, jnp.asarray(False), (z, z, z)
 
     def run_batch(self, state, pending, has_pending, accs, rows, rands,
-                  valid_count, code_rs, tri_idx, tri_r, sample_idx):
+                  valid_count, code_rs, tri_idx, tri_r, sample_idx,
+                  pair_idx=None, pair_r=None):
+        if pair_idx is None:
+            pair_idx = np.zeros((tri_idx.shape[0], 2), np.int32)
+            pair_r = np.zeros((tri_r.shape[0], NLIMB), np.uint32)
         out = self.step(state, pending, has_pending,
                         jnp.asarray(rows), jnp.asarray(rands),
                         jnp.asarray(valid_count, jnp.int32),
                         jnp.asarray(code_rs), jnp.asarray(tri_idx),
-                        jnp.asarray(tri_r), *accs,
+                        jnp.asarray(tri_r), jnp.asarray(pair_idx),
+                        jnp.asarray(pair_r), *accs,
                         jnp.asarray(sample_idx, jnp.int32),
                         self.codec.dom_k, self.codec.dom_n)
         return out[0], out[1], out[2], (out[3], out[4], out[5]), out[6]

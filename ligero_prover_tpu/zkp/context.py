@@ -29,6 +29,10 @@ class _ContextBase:
     """Owns the backend and wires manager callbacks."""
 
     policy = None  # set by subclasses
+    # Whether on_batch_* hooks consume the row values (the verifier and the
+    # null context work from opened samples / nothing, so the vbn254fr
+    # module skips the device->host row transfer for them).
+    wants_batch_rows = True
 
     def __init__(self, executor: TpuExecutor):
         self.executor = executor
@@ -60,11 +64,40 @@ class _ContextBase:
     def finalize(self):
         self.backend.finalize()
 
+    # -- vbn254fr batch-row support (``nonbatch_context.hpp:497-553``) -----
+
+    def batch_encoding_tail(self) -> list[int] | None:
+        """Fresh encoding randomness for a batch row's [l, k) tail, drawn
+        from the same engine as witness-row padding; None when the policy
+        pads zeros (verifier)."""
+        m = self.backend.manager
+        if not m.policy.pad_encoding_random:
+            return None
+        return [F.generate_random(m.encoding_random_engine)
+                for _ in range(self.k - self.l)]
+
 
 def _to_limbs(row: list[int], width: int) -> np.ndarray:
     arr = np.zeros((width, NLIMB), np.uint32)
     ints_to_limbs(row, arr[:len(row)])
     return arr
+
+
+def _pack_quads(bsz: int, tris, pairs):
+    """Pack triple/pair quadratic-check bookkeeping into fixed-shape arrays
+    (capacity = batch size: a flush of all bit-gates yields one triple per
+    row).  Zero scalars mask the padding."""
+    tri_idx = np.zeros((bsz, 3), np.int32)
+    tri_r = np.zeros((bsz, NLIMB), np.uint32)
+    for t, (ix, iy, iz, qr) in enumerate(tris):
+        tri_idx[t] = (ix, iy, iz)
+        tri_r[t] = qr
+    pair_idx = np.zeros((bsz, 2), np.int32)
+    pair_r = np.zeros((bsz, NLIMB), np.uint32)
+    for t, (ix, iy, qr) in enumerate(pairs):
+        pair_idx[t] = (ix, iy)
+        pair_r[t] = qr
+    return tri_idx, tri_r, pair_idx, pair_r
 
 
 class Stage1Context(_ContextBase):
@@ -92,8 +125,25 @@ class Stage1Context(_ContextBase):
         self._flush()
         self._commit_2k_pair(code, linear, quad)
 
+    # -- batch hooks: commit rows in arrival order (context.hpp:497-553) --
+    def on_batch_init(self, row: np.ndarray):
+        self._push(row)
+
+    def on_batch_bit(self, row: np.ndarray):
+        self._push(row)
+
+    def on_batch_equal(self, rx: np.ndarray, ry: np.ndarray):
+        self._push(rx)
+        self._push(ry)
+
+    def on_batch_quadratic(self, rx, ry, rz):
+        self._push(rx)
+        self._push(ry)
+        self._push(rz)
+
     def _push(self, row):
-        self._queue.append(_to_limbs(row, self.k))
+        arr = row if isinstance(row, np.ndarray) else _to_limbs(row, self.k)
+        self._queue.append(arr)
         if len(self._queue) >= self.executor.batch_rows:
             self._flush()
 
@@ -146,6 +196,7 @@ class Stage2Context(_ContextBase):
         self._rands: list[np.ndarray] = []
         self._code_rs: list[np.ndarray] = []
         self._tris: list[tuple[int, int, int, np.ndarray]] = []
+        self._pairs: list[tuple[int, int, np.ndarray]] = []
 
     def _draw_code_random(self) -> int:
         m = self.backend.manager
@@ -179,9 +230,51 @@ class Stage2Context(_ContextBase):
                            ints_to_limbs([qr])[0]))
         self._maybe_flush()
 
+    # -- batch hooks (``nonbatch_context.hpp:782-847``): batch rows carry
+    # no linear-test randomness row; equal-gates land in the quadratic
+    # accumulator as r*(x - y), bit-gates as r*(x∘x - x).
+    def on_batch_init(self, row: np.ndarray):
+        cr = self._draw_code_random()
+        self._enqueue_row(row, None, cr)
+        self._maybe_flush()
+
+    def on_batch_bit(self, row: np.ndarray):
+        if len(self._rows) + 1 > self.executor.batch_rows:
+            self._flush()
+        i = len(self._rows)
+        cr = self._draw_code_random()
+        self._enqueue_row(row, None, cr)
+        qr = self._draw_quad_random()
+        self._tris.append((i, i, i, ints_to_limbs([qr])[0]))
+        self._maybe_flush()
+
+    def on_batch_equal(self, rx: np.ndarray, ry: np.ndarray):
+        if len(self._rows) + 2 > self.executor.batch_rows:
+            self._flush()
+        base = len(self._rows)
+        self._enqueue_row(rx, None, 0)
+        self._enqueue_row(ry, None, 0)
+        qr = self._draw_quad_random()
+        self._pairs.append((base, base + 1, ints_to_limbs([qr])[0]))
+        self._maybe_flush()
+
+    def on_batch_quadratic(self, rx, ry, rz):
+        if len(self._rows) + 3 > self.executor.batch_rows:
+            self._flush()
+        base = len(self._rows)
+        crs = [self._draw_code_random() for _ in range(3)]
+        for i, r in enumerate((rx, ry, rz)):
+            self._enqueue_row(r, None, crs[i])
+        qr = self._draw_quad_random()
+        self._tris.append((base, base + 1, base + 2,
+                           ints_to_limbs([qr])[0]))
+        self._maybe_flush()
+
     def _enqueue_row(self, row, rand, code_r: int):
-        self._rows.append(_to_limbs(row, self.k))
-        self._rands.append(_to_limbs(rand, self.k))
+        self._rows.append(row if isinstance(row, np.ndarray)
+                          else _to_limbs(row, self.k))
+        self._rands.append(np.zeros((self.k, NLIMB), np.uint32)
+                           if rand is None else _to_limbs(rand, self.k))
         self._code_rs.append(ints_to_limbs([code_r])[0])
 
     def _maybe_flush(self):
@@ -192,7 +285,6 @@ class Stage2Context(_ContextBase):
         if not self._rows:
             return
         bsz = self.executor.batch_rows
-        tcap = max(1, bsz // 3 + 1)
         rows = np.zeros((bsz, self.k, NLIMB), np.uint32)
         rands = np.zeros((bsz, self.k, NLIMB), np.uint32)
         code_rs = np.zeros((bsz, NLIMB), np.uint32)
@@ -200,14 +292,13 @@ class Stage2Context(_ContextBase):
         rows[:cnt] = np.stack(self._rows)
         rands[:cnt] = np.stack(self._rands)
         code_rs[:cnt] = np.stack(self._code_rs)
-        tri_idx = np.zeros((tcap, 3), np.int32)
-        tri_r = np.zeros((tcap, NLIMB), np.uint32)
-        for t, (ix, iy, iz, qr) in enumerate(self._tris):
-            tri_idx[t] = (ix, iy, iz)
-            tri_r[t] = qr
+        tri_idx, tri_r, pair_idx, pair_r = _pack_quads(
+            bsz, self._tris, self._pairs)
         self.accs = self.executor.check_step(
-            self.accs, rows, rands, code_rs, tri_idx, tri_r)
-        self._rows, self._rands, self._code_rs, self._tris = [], [], [], []
+            self.accs, rows, rands, code_rs, tri_idx, tri_r,
+            pair_idx, pair_r)
+        self._rows, self._rands, self._code_rs = [], [], []
+        self._tris, self._pairs = [], []
 
     def mask_callback(self, code, linear, quad):
         self._flush()
@@ -256,6 +347,23 @@ class Stage3Context(_ContextBase):
         arr = np.asarray(out, np.uint32)
         self.host_samplings.extend([arr[0], arr[1]])
 
+    # -- batch hooks (``nonbatch_context.hpp:996-1048``): sample each
+    # committed batch row like any witness row.
+    def on_batch_init(self, row: np.ndarray):
+        self._push(row, raw=True)
+
+    def on_batch_bit(self, row: np.ndarray):
+        self._push(row, raw=True)
+
+    def on_batch_equal(self, rx, ry):
+        self._push(rx, raw=True)
+        self._push(ry, raw=True)
+
+    def on_batch_quadratic(self, rx, ry, rz):
+        self._push(rx, raw=True)
+        self._push(ry, raw=True)
+        self._push(rz, raw=True)
+
     def _push(self, row, raw=False):
         self._queue.append(row if raw else _to_limbs(row, self.k))
         if len(self._queue) >= self.executor.batch_rows:
@@ -288,6 +396,7 @@ class VerifierContext(_ContextBase):
     """Re-execution with opened columns (``nonbatch_context.hpp:1081-1388``)."""
 
     policy = VERIFIER_POLICY
+    wants_batch_rows = False
 
     def __init__(self, executor: TpuExecutor, l: int,
                  sample_index: list[int], host_samplings: np.ndarray):
@@ -306,6 +415,7 @@ class VerifierContext(_ContextBase):
         self._rands: list[np.ndarray] = []
         self._code_rs: list[np.ndarray] = []
         self._tris: list[tuple[int, int, int, np.ndarray]] = []
+        self._pairs: list[tuple[int, int, np.ndarray]] = []
 
     def _pop_sample(self) -> np.ndarray:
         if self._pop >= len(self._proof_samples):
@@ -345,6 +455,49 @@ class VerifierContext(_ContextBase):
             self.sha, self.accs, ms)
         self.rows_absorbed += 3
 
+    # -- batch hooks (``nonbatch_context.hpp:1306-1350``): the verifier
+    # replays batch checks directly on the popped sampled columns.
+    def _enqueue_batch_sample(self, code_r: int):
+        self._samples.append(self._pop_sample())
+        self._rands.append(np.zeros((self.k, NLIMB), np.uint32))
+        self._code_rs.append(ints_to_limbs([code_r])[0])
+
+    def on_batch_init(self, row=None):
+        cr = self._draw_code_random()
+        self._enqueue_batch_sample(cr)
+        self._maybe_flush()
+
+    def on_batch_bit(self, row=None):
+        if len(self._samples) + 1 > self.executor.batch_rows:
+            self._flush()
+        i = len(self._samples)
+        cr = self._draw_code_random()
+        self._enqueue_batch_sample(cr)
+        qr = self._draw_quad_random()
+        self._tris.append((i, i, i, ints_to_limbs([qr])[0]))
+        self._maybe_flush()
+
+    def on_batch_equal(self, rx=None, ry=None):
+        if len(self._samples) + 2 > self.executor.batch_rows:
+            self._flush()
+        base = len(self._samples)
+        self._enqueue_batch_sample(0)
+        self._enqueue_batch_sample(0)
+        qr = self._draw_quad_random()
+        self._pairs.append((base, base + 1, ints_to_limbs([qr])[0]))
+        self._maybe_flush()
+
+    def on_batch_quadratic(self, rx=None, ry=None, rz=None):
+        if len(self._samples) + 3 > self.executor.batch_rows:
+            self._flush()
+        base = len(self._samples)
+        for _ in range(3):
+            self._enqueue_batch_sample(self._draw_code_random())
+        qr = self._draw_quad_random()
+        self._tris.append((base, base + 1, base + 2,
+                           ints_to_limbs([qr])[0]))
+        self._maybe_flush()
+
     def _maybe_flush(self):
         if len(self._samples) >= self.executor.batch_rows:
             self._flush()
@@ -353,7 +506,6 @@ class VerifierContext(_ContextBase):
         if not self._samples:
             return
         bsz = self.executor.batch_rows
-        tcap = max(1, bsz // 3 + 1)
         cnt = len(self._samples)
         samples = np.zeros((bsz, self.S, NLIMB), np.uint32)
         rands = np.zeros((bsz, self.k, NLIMB), np.uint32)
@@ -361,16 +513,14 @@ class VerifierContext(_ContextBase):
         samples[:cnt] = np.stack(self._samples)
         rands[:cnt] = np.stack(self._rands)
         code_rs[:cnt] = np.stack(self._code_rs)
-        tri_idx = np.zeros((tcap, 3), np.int32)
-        tri_r = np.zeros((tcap, NLIMB), np.uint32)
-        for t, (ix, iy, iz, qr) in enumerate(self._tris):
-            tri_idx[t] = (ix, iy, iz)
-            tri_r[t] = qr
+        tri_idx, tri_r, pair_idx, pair_r = _pack_quads(
+            bsz, self._tris, self._pairs)
         self.sha, self.accs = self.executor.verify_step(
             self.sha, self.accs, samples, rands, code_rs, tri_idx, tri_r,
-            self.sample_index, cnt)
+            pair_idx, pair_r, self.sample_index, cnt)
         self.rows_absorbed += cnt
-        self._samples, self._rands, self._code_rs, self._tris = [], [], [], []
+        self._samples, self._rands, self._code_rs = [], [], []
+        self._tris, self._pairs = [], []
 
     def finalize(self):
         super().finalize()
@@ -393,6 +543,7 @@ class NullContext(_ContextBase):
     """
 
     policy = RandomPolicy(False, False, False, False)
+    wants_batch_rows = False
 
     def __init__(self, k: int = 256, l: int | None = None):
         self.executor = None
@@ -408,4 +559,16 @@ class NullContext(_ContextBase):
         self.rows += 3
 
     def mask_callback(self, code, linear, quad):
+        self.rows += 3
+
+    def on_batch_init(self, row):
+        self.rows += 1
+
+    def on_batch_bit(self, row):
+        self.rows += 1
+
+    def on_batch_equal(self, rx, ry):
+        self.rows += 2
+
+    def on_batch_quadratic(self, rx, ry, rz):
         self.rows += 3

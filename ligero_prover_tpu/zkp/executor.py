@@ -77,17 +77,28 @@ def _commit_body(state, pending, has_pending, rows, valid_count,
     return _absorb_stream(state, pending, has_pending, cws, valid_count)
 
 
-def _check_body(code, linear, quad, rows, rands, code_rs, tri_idx, tri_r,
-                dom_k, dom_n, n):
-    e = encode_rows(rows, dom_k, dom_n, n)
-    r = encode_rows(rands, dom_k, dom_n, n)
-    code = _masked_sum(code, fo.mulmod(e, code_rs[:, None, :]))
-    linear = _masked_sum(linear, fo.mulmod(e, r))
+def _quad_contrib(quad, e, tri_idx, tri_r, pair_idx, pair_r):
+    """Accumulate quadratic-test terms: r*(x∘y - z) for each (x,y,z) triple
+    and r*(x - y) for each batch-equality pair (``nonbatch_context.hpp:771,
+    811-825``).  Padded entries carry zero scalars and contribute nothing."""
     ex = jnp.take(e, tri_idx[:, 0], axis=0)
     ey = jnp.take(e, tri_idx[:, 1], axis=0)
     ez = jnp.take(e, tri_idx[:, 2], axis=0)
     t = fo.submod(fo.mulmod(ex, ey), ez)
     quad = _masked_sum(quad, fo.mulmod(t, tri_r[:, None, :]))
+    px = jnp.take(e, pair_idx[:, 0], axis=0)
+    py = jnp.take(e, pair_idx[:, 1], axis=0)
+    d = fo.submod(px, py)
+    return _masked_sum(quad, fo.mulmod(d, pair_r[:, None, :]))
+
+
+def _check_body(code, linear, quad, rows, rands, code_rs, tri_idx, tri_r,
+                pair_idx, pair_r, dom_k, dom_n, n):
+    e = encode_rows(rows, dom_k, dom_n, n)
+    r = encode_rows(rands, dom_k, dom_n, n)
+    code = _masked_sum(code, fo.mulmod(e, code_rs[:, None, :]))
+    linear = _masked_sum(linear, fo.mulmod(e, r))
+    quad = _quad_contrib(quad, e, tri_idx, tri_r, pair_idx, pair_r)
     return code, linear, quad
 
 
@@ -104,19 +115,15 @@ def _open_body(rows, idx, dom_msg, dom_n, n):
 
 
 def _verify_body(state, pending, has_pending, code, linear, quad,
-                 samples, rands, code_rs, tri_idx, tri_r, idx, valid_count,
-                 dom_k, dom_n, n):
+                 samples, rands, code_rs, tri_idx, tri_r, pair_idx, pair_r,
+                 idx, valid_count, dom_k, dom_n, n):
     state, pending, has_pending = _absorb_stream(
         state, pending, has_pending, samples, valid_count)
     r_full = encode_rows(rands, dom_k, dom_n, n)
     r = jnp.take(r_full, idx, axis=1)           # (B, S, 8)
     code = _masked_sum(code, fo.mulmod(samples, code_rs[:, None, :]))
     linear = _masked_sum(linear, fo.mulmod(samples, r))
-    sx = jnp.take(samples, tri_idx[:, 0], axis=0)
-    sy = jnp.take(samples, tri_idx[:, 1], axis=0)
-    sz = jnp.take(samples, tri_idx[:, 2], axis=0)
-    t = fo.submod(fo.mulmod(sx, sy), sz)
-    quad = _masked_sum(quad, fo.mulmod(t, tri_r[:, None, :]))
+    quad = _quad_contrib(quad, samples, tri_idx, tri_r, pair_idx, pair_r)
     return state, pending, has_pending, code, linear, quad
 
 
@@ -130,10 +137,10 @@ def _verify_mask_body(state, pending, has_pending, code, linear, quad, ms):
 
 
 _commit_jit = jax.jit(_commit_body, static_argnums=(7,))
-_check_jit = jax.jit(_check_body, static_argnums=(10,))
+_check_jit = jax.jit(_check_body, static_argnums=(12,))
 _mask_jit = jax.jit(_mask_body, static_argnums=(9,))
 _open_jit = jax.jit(_open_body, static_argnums=(4,))
-_verify_jit = jax.jit(_verify_body, static_argnums=(15,))
+_verify_jit = jax.jit(_verify_body, static_argnums=(17,))
 _verify_mask_jit = jax.jit(_verify_mask_body)
 
 
@@ -164,10 +171,12 @@ class TpuExecutor:
 
     # ---- stage 2: checks -------------------------------------------------
 
-    def check_step(self, accs, rows, rands, code_rs, tri_idx, tri_r):
+    def check_step(self, accs, rows, rands, code_rs, tri_idx, tri_r,
+                   pair_idx, pair_r):
         return _check_jit(*accs, jnp.asarray(rows), jnp.asarray(rands),
                           jnp.asarray(code_rs), jnp.asarray(tri_idx),
-                          jnp.asarray(tri_r),
+                          jnp.asarray(tri_r), jnp.asarray(pair_idx),
+                          jnp.asarray(pair_r),
                           self.codec.dom_k, self.codec.dom_n, self.n)
 
     def mask_step(self, accs, code_row, linear_row, quad_row):
@@ -187,12 +196,13 @@ class TpuExecutor:
     # ---- verifier --------------------------------------------------------
 
     def verify_step(self, sha, accs, samples, rands, code_rs, tri_idx, tri_r,
-                    sample_idx, valid_count):
+                    pair_idx, pair_r, sample_idx, valid_count):
         state, pending, has_pending = sha
         out = _verify_jit(state, pending, has_pending, *accs,
                           jnp.asarray(samples), jnp.asarray(rands),
                           jnp.asarray(code_rs), jnp.asarray(tri_idx),
-                          jnp.asarray(tri_r),
+                          jnp.asarray(tri_r), jnp.asarray(pair_idx),
+                          jnp.asarray(pair_r),
                           jnp.asarray(sample_idx, jnp.int32),
                           jnp.asarray(valid_count, jnp.int32),
                           self.codec.dom_k, self.codec.dom_n, self.n)
