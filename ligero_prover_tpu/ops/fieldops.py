@@ -143,12 +143,66 @@ def _acc3_add(t0, t1, t2, lo, hi):
     return s0, s1b, s2
 
 
+def to_digits16(x):
+    """(..., 8) u32 -> list of 16 u32 arrays of 16-bit digits, LE."""
+    out = []
+    for i in range(NLIMB):
+        out.append(x[..., i] & 0xFFFF)
+        out.append(x[..., i] >> 16)
+    return out
+
+
+def _carry_sweep(acc, out_limbs: int, shape, out_d: int):
+    """16-bit digit accumulators -> packed u32 limbs."""
+    digits = []
+    carry = jnp.zeros(shape, _U32)
+    for c in range(out_d):
+        v = acc[c] + carry
+        digits.append(v & 0xFFFF)
+        carry = v >> 16
+    limbs = [digits[2 * i] | (digits[2 * i + 1] << 16)
+             for i in range(out_limbs)]
+    return jnp.stack(limbs, axis=-1)
+
+
+def mul_wide_conv(x, y, out_limbs: int = 2 * NLIMB):
+    """256x256-bit multiply -> `out_limbs` u32 limbs (16 full, 8 = 2^256).
+
+    Fully unrolled 16-bit digit convolution: each of the 256 digit products
+    is exact in u32; the low/high halves are added into per-antidiagonal
+    u32 accumulators (<=32 terms < 2^16 each, so no overflow), then one
+    16-bit carry sweep.  Everything is elementwise over the element axes,
+    so XLA fuses the whole chain into a single loop fusion — no outer
+    product or matmul intermediate ever hits HBM (the one-hot contraction
+    form below materializes a (..., 16, 16) tensor, ~130 MB per NTT
+    butterfly stage at production sizes, and is HBM-bound on TPU).
+    """
+    nd = 2 * NLIMB                       # 16 digits in
+    out_d = 2 * out_limbs                # digits out
+    xd = to_digits16(x)
+    yd = to_digits16(y)
+    acc = [None] * out_d
+    for u in range(nd):
+        for v in range(nd):
+            c = u + v
+            if c >= out_d:
+                continue
+            p = xd[u] * yd[v]
+            lo = p & 0xFFFF
+            acc[c] = lo if acc[c] is None else acc[c] + lo
+            if c + 1 < out_d:
+                hi = p >> 16
+                acc[c + 1] = hi if acc[c + 1] is None else acc[c + 1] + hi
+    return _carry_sweep(acc, out_limbs, x.shape[:-1], out_d)
+
+
 _ANTIDIAG_CACHE = {}
 
 
 def _antidiag_masks(nd: int, out_d: int):
     """One-hot (nd*nd, out_d) uint32 matrices: column c selects products
-    with i+j == c (lo) / i+j == c-1 (hi)."""
+    with i+j == c (lo) / i+j == c-1 (hi).  Cached as numpy: device
+    constants created inside a trace must not escape into module state."""
     key = (nd, out_d)
     if key not in _ANTIDIAG_CACHE:
         mlo = np.zeros((nd * nd, out_d), np.uint32)
@@ -159,52 +213,40 @@ def _antidiag_masks(nd: int, out_d: int):
                     mlo[i * nd + j, i + j] = 1
                 if i + j + 1 < out_d:
                     mhi[i * nd + j, i + j + 1] = 1
-        # cache as numpy: device constants created inside a trace must not
-        # escape into module state (UnexpectedTracerError)
         _ANTIDIAG_CACHE[key] = (mlo, mhi)
     return _ANTIDIAG_CACHE[key]
 
 
-def to_digits16(x):
-    """(..., 8) u32 -> (..., 16) u32 of 16-bit digits, little-endian."""
-    lo = x & 0xFFFF
-    hi = x >> 16
-    return jnp.stack([lo, hi], axis=-1).reshape(*x.shape[:-1], 2 * NLIMB)
+def mul_wide_matmul(x, y, out_limbs: int = 2 * NLIMB):
+    """Same contract as :func:`mul_wide_conv`, as a 16-bit digit outer
+    product + one-hot anti-diagonal contraction.
 
-
-def mul_wide(x, y, out_limbs: int = 2 * NLIMB):
-    """256x256-bit multiply -> `out_limbs` u32 limbs (16 full, 8 = mod 2^256).
-
-    Tensorized: 16-bit digit outer product (exact in u32), anti-diagonal
-    accumulation (max 32 terms < 2^16 each, so a u32 accumulator cannot
-    overflow), then one 16-bit carry-propagation sweep.  This keeps the XLA
-    graph ~2 orders of magnitude smaller than an unrolled Comba scheme and
-    maps to large fused VPU ops.
+    Used on the CPU backend (tests / golden runs): LLVM compiles the big
+    straight-line convolution pathologically slowly (~45 s per fusion),
+    while the matmul form compiles in seconds; the matmul intermediates
+    that make this form HBM-bound on TPU are harmless in host caches.
     """
-    nd = 2 * NLIMB                       # 16 digits in
-    out_d = 2 * out_limbs                # digits out
-    xd = to_digits16(x)
-    yd = to_digits16(y)
+    nd = 2 * NLIMB
+    out_d = 2 * out_limbs
+    xd = jnp.stack(to_digits16(x), axis=-1)
+    yd = jnp.stack(to_digits16(y), axis=-1)
     prod = xd[..., :, None] * yd[..., None, :]        # (..., 16, 16)
     plo = prod & 0xFFFF
     phi = prod >> 16
-    # Anti-diagonal sums via a constant one-hot contraction: a single
-    # dot_general instead of 32 scatter-adds (sums of <=32 16-bit terms
-    # cannot overflow uint32).
     mlo, mhi = _antidiag_masks(nd, out_d)
     flat_lo = plo.reshape(*x.shape[:-1], nd * nd)
     flat_hi = phi.reshape(*x.shape[:-1], nd * nd)
-    acc = flat_lo @ mlo + flat_hi @ mhi              # (..., out_d)
-    # carry propagation over 16-bit digits
-    digits = []
-    carry = jnp.zeros(x.shape[:-1], _U32)
-    for c in range(out_d):
-        v = acc[..., c] + carry
-        digits.append(v & 0xFFFF)
-        carry = v >> 16
-    limbs = [digits[2 * i] | (digits[2 * i + 1] << 16)
-             for i in range(out_limbs)]
-    return jnp.stack(limbs, axis=-1)
+    acc = flat_lo @ mlo + flat_hi @ mhi               # (..., out_d)
+    return _carry_sweep([acc[..., c] for c in range(out_d)],
+                        out_limbs, x.shape[:-1], out_d)
+
+
+def mul_wide(x, y, out_limbs: int = 2 * NLIMB):
+    """Backend-dispatching 256-bit multiply (see the two variants above)."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return mul_wide_matmul(x, y, out_limbs)
+    return mul_wide_conv(x, y, out_limbs)
 
 
 def mul_lo(x, y):

@@ -1,12 +1,24 @@
 """Batched NTT / Reed-Solomon codec over BN254-Fr in JAX.
 
-TPU-first divergence from the reference: the reference encodes one row per
-GPU dispatch chain (``engine.cpp:755-771``); here rows are batched as a
-(B, N, 8) tensor and every butterfly stage is one fused vector op over the
-whole batch.  Twiddles are precomputed per stage in Montgomery form
-(w * 2^256 mod p) exactly like ``ntt_radix2.hpp:87-104``, so butterflies do
-one mont_mul and values stay in the plain domain; outputs are canonical in
-[0, p).
+TPU-first divergences from the reference (``engine.cpp:755-797``):
+
+* The reference encodes one row per GPU dispatch chain; here rows are
+  batched as a (B, N, 8) tensor and every butterfly stage is one fused
+  vector op over the whole batch.
+* **No bit-reversal permutations and no gathers at all.**  The inverse
+  message-domain NTT runs as decimation-in-frequency (natural input →
+  bit-reversed coefficients); zero-extension from k to n coefficients is a
+  stride-`n/k` interleave in the bit-reversed domain, whose first
+  log2(n/k) DIT stages degenerate to pure broadcasts — i.e. a single
+  ``jnp.repeat``; the forward n-domain NTT then runs as
+  decimation-in-time from bit-reversed input to **natural-order** output.
+  Every stage is a static reshape + elementwise butterfly, which XLA maps
+  onto contiguous VPU tiles (a gather per stage was the old design's
+  second bottleneck after the wide-mul intermediates).
+
+Twiddles are precomputed per stage in Montgomery form (w * 2^256 mod p)
+exactly like ``ntt_radix2.hpp:87-104``, so butterflies do one mont_mul and
+values stay in the plain domain; outputs are canonical in [0, p).
 
 All precomputed tables are *runtime arguments* to the jitted functions, not
 closure constants: embedding megabytes of twiddles as HLO literals bloats
@@ -23,7 +35,6 @@ Mathematical contract (validated against ``field.golden``):
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..field import bn254 as F
@@ -44,97 +55,120 @@ def _bitrev(n: int) -> np.ndarray:
 
 
 def build_domain_tables(n: int, w: int):
-    """Butterfly tables for one domain: a dict pytree of jnp arrays.
+    """Per-stage butterfly twiddles for one domain, as a dict pytree.
 
-    Stage s (1-based): length = 2^s, butterflies at k = g*length + j,
-    a-index k, b-index k+half, twiddle w^(j * n / length) in Montgomery
-    form.  Tables are stacked over stages so the stage loop is one
-    fori_loop body.
+    Stage s (1-based, length L = 2^s) pairs (g*L + j, g*L + j + L/2) and
+    multiplies by w_L^j = w^(j*n/L); ``fwd``/``inv`` are tuples of
+    (2^(s-1), 8) uint32 arrays in Montgomery form, shared by the DIT
+    (bit-reversed → natural) and DIF (natural → bit-reversed) stage loops.
     """
     assert pow(w, n, F.MODULUS) == 1 and pow(w, n // 2, F.MODULUS) != 1
     log2n = n.bit_length() - 1
-    half_n = n // 2
     w_inv = pow(w, F.MODULUS - 2, F.MODULUS)
     n_inv = pow(n, F.MODULUS - 2, F.MODULUS)
 
-    def build(root):
-        idx_a = np.empty((log2n, half_n), np.int32)
-        idx_b = np.empty((log2n, half_n), np.int32)
-        inv_perm = np.empty((log2n, n), np.int32)
-        tws = np.empty((log2n, half_n, NLIMB), np.uint32)
+    def stage_tws(root):
+        stages = []
         for s in range(1, log2n + 1):
-            length = 1 << s
-            half = length >> 1
-            wl = pow(root, n // length, F.MODULUS)
-            tw_pows = [1] * half
+            half = 1 << (s - 1)
+            wl = pow(root, n >> s, F.MODULUS)
+            tw = [1] * half
             for j in range(1, half):
-                tw_pows[j] = tw_pows[j - 1] * wl % F.MODULUS
-            tw_limbs = ints_to_limbs([t * F.R % F.MODULUS for t in tw_pows])
-            m = 0
-            for g in range(n // length):
-                for j in range(half):
-                    k = g * length + j
-                    idx_a[s - 1, m] = k
-                    idx_b[s - 1, m] = k + half
-                    inv_perm[s - 1, k] = m
-                    inv_perm[s - 1, k + half] = half_n + m
-                    tws[s - 1, m] = tw_limbs[j]
-                    m += 1
-        return (jnp.asarray(idx_a), jnp.asarray(idx_b),
-                jnp.asarray(inv_perm), jnp.asarray(tws))
+                tw[j] = tw[j - 1] * wl % F.MODULUS
+            stages.append(jnp.asarray(
+                ints_to_limbs([t * F.R % F.MODULUS for t in tw])))
+        return tuple(stages)
 
     return {
         "rev": jnp.asarray(_bitrev(n)),
-        "fwd": build(w),
-        "inv": build(w_inv),
+        "fwd": stage_tws(w),
+        "inv": stage_tws(w_inv),
         "n_inv_mont": jnp.asarray(int_to_limbs(n_inv * F.R % F.MODULUS)),
     }
 
 
-def _butterflies(x, stage_tables, rev):
-    """Bit-reverse then log2(N) DIT stages of a' = a + w*b, b' = a - w*b."""
-    idx_a, idx_b, inv_perm, tws = stage_tables
-    log2n = idx_a.shape[0]
-    x = jnp.take(x, rev, axis=1)
+def _dit_stages(x, tws, first_stage: int = 1):
+    """DIT butterflies (bit-reversed input → natural output), stages
+    ``first_stage``..log2(N); each stage is reshape + a' = a + w*b,
+    b' = a - w*b."""
+    b_, n = x.shape[0], x.shape[1]
+    log2n = n.bit_length() - 1
+    for s in range(first_stage, log2n + 1):
+        length = 1 << s
+        half = length >> 1
+        v = x.reshape(b_, n // length, 2, half, NLIMB)
+        a, b = v[:, :, 0], v[:, :, 1]
+        wb = fo.mont_mul(b, tws[s - 1][None, None])
+        x = jnp.stack([fo.addmod(a, wb), fo.submod(a, wb)], axis=2) \
+            .reshape(b_, n, NLIMB)
+    return x
 
-    def stage(s, x):
-        a = jnp.take(x, idx_a[s], axis=1)
-        b = jnp.take(x, idx_b[s], axis=1)
-        wb = fo.mont_mul(b, tws[s][None, :, :])
-        out = jnp.concatenate([fo.addmod(a, wb), fo.submod(a, wb)], axis=1)
-        return jnp.take(out, inv_perm[s], axis=1)
 
-    return jax.lax.fori_loop(0, log2n, stage, x)
+def _dif_stages(x, tws):
+    """DIF butterflies (natural input → bit-reversed output), stages
+    log2(N)..1; a' = a + b, b' = (a - b) * w."""
+    b_, n = x.shape[0], x.shape[1]
+    log2n = n.bit_length() - 1
+    for s in range(log2n, 0, -1):
+        length = 1 << s
+        half = length >> 1
+        v = x.reshape(b_, n // length, 2, half, NLIMB)
+        a, b = v[:, :, 0], v[:, :, 1]
+        s_ = fo.addmod(a, b)
+        d_ = fo.mont_mul(fo.submod(a, b), tws[s - 1][None, None])
+        x = jnp.stack([s_, d_], axis=2).reshape(b_, n, NLIMB)
+    return x
 
 
 def ntt_forward(x, dom):
-    """(B, N, 8) -> (B, N, 8), natural order."""
-    return _butterflies(x, dom["fwd"], dom["rev"])
+    """(B, N, 8) -> (B, N, 8), natural order in/out (golden contract)."""
+    rev = dom["rev"]
+    return _dit_stages(jnp.take(x, rev, axis=1), dom["fwd"])
 
 
 def ntt_inverse(x, dom):
-    y = _butterflies(x, dom["inv"], dom["rev"])
+    y = _dif_stages(x, dom["inv"])
+    y = jnp.take(y, dom["rev"], axis=1)
     return fo.mont_mul(y, dom["n_inv_mont"][None, None, :])
 
 
 # ---- codec functions (tables as arguments; jit at call sites) -----------
 
 def encode_rows(rows, dom_msg, dom_n, n: int):
-    """(B, w, 8) message-domain rows -> (B, n, 8) codewords."""
-    b_, w = rows.shape[0], rows.shape[1]
-    coeffs = ntt_inverse(rows, dom_msg)
-    padded = jnp.concatenate(
-        [coeffs, jnp.zeros((b_, n - w, NLIMB), jnp.uint32)], axis=1)
-    return ntt_forward(padded, dom_n)
+    """(B, w, 8) message-domain rows -> (B, n, 8) codewords.
+
+    iNTT as DIF (bit-reversed coefficients), zero-extension as a repeat
+    (the first log2(n/w) DIT stages on a stride-interleaved input copy
+    a to both outputs since b = 0), then DIT to natural order.
+    """
+    w = rows.shape[1]
+    coeffs = _dif_stages(rows, dom_msg["inv"])
+    coeffs = fo.mont_mul(coeffs, dom_msg["n_inv_mont"][None, None])
+    ratio = n // w
+    x = jnp.repeat(coeffs, ratio, axis=1)
+    return _dit_stages(x, dom_n["fwd"],
+                       first_stage=ratio.bit_length())  # log2(ratio) + 1
 
 
 def decode_rows(codewords, dom_k, dom_n, k: int):
     """(B, n, 8) -> (B, n, 8): [0,k) k-domain evaluations, [k,n) raw
-    coefficients (degree check)."""
-    coeffs = ntt_inverse(codewords, dom_n)
-    folded = fo.addmod(coeffs[:, :k], coeffs[:, k:2 * k])
-    evals = ntt_forward(folded, dom_k)
-    return jnp.concatenate([evals, coeffs[:, k:]], axis=1)
+    coefficients (degree check).
+
+    In the bit-reversed n-domain, natural coefficients {c, c+k, c+2k, c+3k}
+    (c < k, n = 4k) sit at consecutive positions {4t, 4t+2, 4t+1, 4t+3}
+    with t = bitrev_k(c), so the fold c[i] += c[i+k] is an elementwise add
+    of interleave lanes 0 and 2 and lands directly in bit-reversed k-order,
+    ready for the DIT k-NTT.
+    """
+    b_, n = codewords.shape[0], codewords.shape[1]
+    assert n == 4 * k
+    coeffs = _dif_stages(codewords, dom_n["inv"])
+    coeffs = fo.mont_mul(coeffs, dom_n["n_inv_mont"][None, None])
+    v = coeffs.reshape(b_, k, 4, NLIMB)
+    folded = fo.addmod(v[:, :, 0], v[:, :, 2])
+    evals = _dit_stages(folded, dom_k["fwd"])
+    coeffs_nat = jnp.take(coeffs, dom_n["rev"], axis=1)
+    return jnp.concatenate([evals, coeffs_nat[:, k:]], axis=1)
 
 
 class RSCodec:
@@ -142,6 +176,7 @@ class RSCodec:
 
     def __init__(self, k: int, n: int):
         assert n == 4 * k
+        import jax
         w_k, w_2k, w_n = F.generate_omegas(k, n)
         self.k, self.n = k, n
         self.dom_k = build_domain_tables(k, w_k)

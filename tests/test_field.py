@@ -126,3 +126,28 @@ def test_jax_codec_matches_golden(rng):
     cw2 = codec.encode_2k(jnp.asarray(np.stack([ints_to_limbs(m) for m in masks])))
     for i, m in enumerate(masks):
         assert limbs_to_ints(cw2[i]) == golden.encode_2k(m, k, n, w_2k, w_n)
+
+
+def test_mul_wide_conv_matches_matmul(rng):
+    """The TPU convolution form of the wide multiply must agree with the
+    CPU matmul form (the composite mont_mul conv pipeline is exercised on
+    real TPU by bench.py; compiling it on CPU-LLVM is prohibitively slow)."""
+    import jax
+    import numpy as np
+    from ligero_prover_tpu.ops import fieldops as fo
+    from ligero_prover_tpu.field.limbs import ints_to_limbs
+
+    xs = [rng.randrange(1 << 256) for _ in range(64)]
+    ys = [rng.randrange(1 << 256) for _ in range(64)]
+    X, Y = ints_to_limbs(xs), ints_to_limbs(ys)
+    for out_limbs in (8, 16):
+        a = np.asarray(jax.jit(fo.mul_wide_conv,
+                               static_argnums=2)(X, Y, out_limbs))
+        b = np.asarray(jax.jit(fo.mul_wide_matmul,
+                               static_argnums=2)(X, Y, out_limbs))
+        assert (a == b).all()
+        # golden check on the full product (16 limbs = one 512-bit int each)
+        if out_limbs == 16:
+            got = [int.from_bytes(row.astype("<u4").tobytes(), "little")
+                   for row in a]
+            assert got == [(x * y) % (1 << 512) for x, y in zip(xs, ys)]
