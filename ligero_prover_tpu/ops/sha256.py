@@ -49,7 +49,35 @@ def _rotr(x, r):
     return (x >> r) | (x << (32 - r))
 
 
-def transform(state, block):
+_K_INTS = [int(k) for k in np.asarray(K)]
+
+
+def transform_unrolled(state, block):
+    """One compression, fully unrolled with a rotating 16-word schedule.
+
+    Straight-line code -> XLA emits one fused VPU kernel over the column
+    axis; the rolled variant below pays ~112 tiny kernel launches per block
+    (measured 2.55 ms vs ~0.04 ms at C=32768 on TPU v5e).  TPU-only: on
+    XLA:CPU multi-device builds large unrolled bodies compile pathologically
+    slowly (round-1 measurement), so CPU uses :func:`transform_rolled`.
+    """
+    w = [block[i] for i in range(16)]
+    a, b, c, d, e, f, g, h = (state[i] for i in range(8))
+    for i in range(64):
+        if i >= 16:
+            x15, x2 = w[(i - 15) % 16], w[(i - 2) % 16]
+            s0 = _rotr(x15, 7) ^ _rotr(x15, 18) ^ (x15 >> 3)
+            s1 = _rotr(x2, 17) ^ _rotr(x2, 19) ^ (x2 >> 10)
+            w[i % 16] = w[i % 16] + s1 + w[(i - 7) % 16] + s0
+        t1 = h + (_rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)) \
+            + ((e & f) ^ (~e & g)) + jnp.uint32(_K_INTS[i]) + w[i % 16]
+        t2 = (_rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)) \
+            + ((a & b) ^ (a & c) ^ (b & c))
+        a, b, c, d, e, f, g, h = t1 + t2, a, b, c, d + t1, e, f, g
+    return state + jnp.stack([a, b, c, d, e, f, g, h])
+
+
+def transform_rolled(state, block):
     """One compression: state (8, C), block (16, C) message words.
 
     XLA:CPU compile-time law (measured): loops nested two deep
@@ -79,6 +107,14 @@ def transform(state, block):
     vals = jax.lax.fori_loop(0, 64, round_fn,
                              tuple(state[i] for i in range(8)))
     return state + jnp.stack(vals)
+
+
+def transform(state, block):
+    """Backend-dispatching compression (trace-time choice; each jit
+    compiles for one backend, so the branch is resolved statically)."""
+    if jax.default_backend() == "cpu":
+        return transform_rolled(state, block)
+    return transform_unrolled(state, block)
 
 
 @jax.jit

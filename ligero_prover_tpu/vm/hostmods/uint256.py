@@ -71,7 +71,10 @@ class Uint256Module:
         str_addr = self._pop_u32()
         limbs = self._load_limbs(self._pop_u32())
         mem = self.ctx.memory
-        end = mem.data.index(0, str_addr)
+        try:
+            end = mem.data.index(0, str_addr, len(mem.data))
+        except ValueError:
+            raise WasmTrap("uint256_set_str: unterminated string")
         s = bytes(mem.data[str_addr:end]).decode()
         try:
             if base == 0:
@@ -103,6 +106,8 @@ class Uint256Module:
         a = (self._compose(a_high) << (NLIMBS * LIMB_BITS)) \
             | self._compose(a_low)
         b_val = self._compose(b)
+        if b_val == 0:
+            raise WasmTrap("uint512_idiv_normalized: division by zero")
         q, rem = divmod(a, b_val)
         self._decompose(q_low, q)
         q_high.value = (q >> (NLIMBS * LIMB_BITS)) & LIMB_MASK
@@ -112,7 +117,14 @@ class Uint256Module:
         m = self._load_limbs(self._pop_u32())
         a = self._load_limbs(self._pop_u32())
         out = self._load_limbs(self._pop_u32())
-        self._decompose(out, pow(self._compose(a), -1, self._compose(m)))
+        # Non-invertible a (or m == 0) leaves the output 0 and lets the
+        # guest-side constraints fail, matching the reference's tolerance
+        # (mpz_invert leaves the result undefined, ``uint256.hpp:227``).
+        try:
+            inv = pow(self._compose(a), -1, self._compose(m))
+        except ValueError:
+            inv = 0
+        self._decompose(out, inv)
 
     def finalize(self):
         pass

@@ -115,6 +115,48 @@ def test_uint256_invmod():
     assert a * inv % m == 1
 
 
+def test_uint256_invmod_noninvertible_writes_zero():
+    """Misbehaving guest: gcd(a, m) > 1 leaves out == 0 (constraints then
+    fail guest-side, matching mpz_invert tolerance, ``uint256.hpp:227``)."""
+    ctx = make_ctx()
+    u = ctx.host_modules["uint256"]
+    for base in (0, 32, 64):
+        alloc_u256(ctx, base)
+    u._decompose(u._load_limbs(0), 0xFF)   # pre-dirty the output
+    u._decompose(u._load_limbs(32), 6)
+    u._decompose(u._load_limbs(64), 9)
+    ctx.push(u32(0)); ctx.push(u32(32)); ctx.push(u32(64))
+    u.uint256_invmod()
+    assert read_u256(ctx, 0) == 0
+
+
+def test_uint512_idiv_by_zero_traps():
+    from ligero_prover_tpu.vm.values import WasmTrap
+    ctx = make_ctx()
+    u = ctx.host_modules["uint256"]
+    fr = ctx.host_modules["bn254fr"]
+    for base in (0, 40, 72, 104, 136):
+        alloc_u256(ctx, base)
+    ctx.push(u32(32)); fr.bn254fr_alloc()
+    u._decompose(u._load_limbs(72), 123)
+    for addr in (0, 32, 40, 72, 104, 136):
+        ctx.push(u32(addr))
+    with pytest.raises(WasmTrap):
+        u.uint512_idiv_normalized()
+
+
+def test_uint256_set_str_unterminated_traps():
+    from ligero_prover_tpu.vm.values import WasmTrap
+    ctx = make_ctx()
+    u = ctx.host_modules["uint256"]
+    alloc_u256(ctx, 0)
+    mem = ctx.memory
+    mem.data[-8:] = b"12345678"          # no NUL before memory end
+    ctx.push(u32(0)); ctx.push(u32(len(mem.data) - 8)); ctx.push(u32(10))
+    with pytest.raises(WasmTrap):
+        u.uint256_set_str()
+
+
 UINT256_WAT = r"""
 (module
   (import "bn254fr" "bn254fr_alloc" (func $alloc (param i32)))
