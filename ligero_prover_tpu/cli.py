@@ -20,7 +20,24 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sys
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache for the CLI (the reference's driver
+    starts instantly because its shaders are tiny; our jitted pipelines are
+    not, so cold-compile cost must be paid at most once per machine)."""
+    import jax
+    cache_dir = os.environ.get(
+        "LIGERO_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "ligero_jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax without these flags: run uncached
 
 from . import __version__
 from .params import RowGeometry
@@ -126,6 +143,7 @@ def cmd_verify(jstr: str, proof_file: str = "proof_data.gz") -> int:
 
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
+    _enable_compilation_cache()
     print(f"ligero-prover-tpu v{__version__}")
     if len(argv) < 2 or argv[0] not in ("prove", "verify"):
         print("usage: python -m ligero_prover_tpu.cli "

@@ -14,9 +14,12 @@ checks:
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass
 
 import numpy as np
+
+from .vm.values import WasmTrap, ExitProgram
 
 from .field import bn254 as F
 from .field.limbs import limbs_to_ints
@@ -83,7 +86,17 @@ def verify(program, proof_blob: bytes, *,
         try:
             program(vctx)
             vctx.finalize()
-        except Exception as e:  # malformed proof / failed execution
+        except (WasmTrap, ExitProgram, ValueError, IndexError) as e:
+            # Protocol-level rejection: a forged/truncated proof makes the
+            # re-execution trap or run out of opened columns — reject
+            # quietly, matching the reference's reject-by-exception
+            # (``webgpu_verifier.cpp:304-310``).
+            print(f"verify: rejected during re-execution: {e}",
+                  file=sys.stderr)
+            return res
+        except Exception:
+            # Anything else is a verifier bug, not a bad proof: surface the
+            # traceback (still reject — never accept on error).
             import traceback
             traceback.print_exc()
             return res

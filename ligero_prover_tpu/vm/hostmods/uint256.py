@@ -75,7 +75,10 @@ class Uint256Module:
             end = mem.data.index(0, str_addr, len(mem.data))
         except ValueError:
             raise WasmTrap("uint256_set_str: unterminated string")
-        s = bytes(mem.data[str_addr:end]).decode()
+        try:
+            s = bytes(mem.data[str_addr:end]).decode()
+        except UnicodeDecodeError:
+            raise WasmTrap("bad conversion")
         try:
             if base == 0:
                 v = int(s, 0)

@@ -8,10 +8,49 @@ of private-index args secret — this is how secret inputs enter the guest.
 from __future__ import annotations
 
 import os
-import random
 import sys
 
 from ..values import Num, WasmTrap, ExitProgram, u32
+
+
+class _MT19937:
+    """Raw MT19937 matching ``std::mt19937`` (init_genrand seeding) so
+    ``random_get`` reproduces the reference byte stream exactly
+    (``wasi_preview1.hpp:198-210``: default-constructed engine, seed 5489;
+    libstdc++ ``uniform_int_distribution(0,255)`` divides each 32-bit draw
+    by 2^24 — no rejection since 256 | 2^32)."""
+
+    def __init__(self, seed: int = 5489):
+        mt = [seed & 0xFFFFFFFF]
+        for i in range(1, 624):
+            mt.append((1812433253 * (mt[-1] ^ (mt[-1] >> 30)) + i)
+                      & 0xFFFFFFFF)
+        self.mt = mt
+        self.idx = 624
+
+    def _generate(self):
+        mt = self.mt
+        for i in range(624):
+            y = (mt[i] & 0x80000000) | (mt[(i + 1) % 624] & 0x7FFFFFFF)
+            v = mt[(i + 397) % 624] ^ (y >> 1)
+            if y & 1:
+                v ^= 0x9908B0DF
+            mt[i] = v
+        self.idx = 0
+
+    def next_u32(self) -> int:
+        if self.idx >= 624:
+            self._generate()
+        y = self.mt[self.idx]
+        self.idx += 1
+        y ^= y >> 11
+        y ^= (y << 7) & 0x9D2C5680
+        y ^= (y << 15) & 0xEFC60000
+        y ^= y >> 18
+        return y
+
+    def next_byte(self) -> int:
+        return self.next_u32() >> 24  # == draw / 2^24 (top 8 bits)
 
 
 class WasiModule:
@@ -21,7 +60,7 @@ class WasiModule:
         self.ctx = ctx
         self.args = args
         self.private_indices = private_indices
-        self._rand = random.Random(42)  # reference seeds an mt19937
+        self._rand = _MT19937()
 
     def call(self, func: str):
         handler = getattr(self, func, None)
@@ -124,13 +163,66 @@ class WasiModule:
         ctx = self.ctx
         ln = ctx.make_numeric(ctx.pop()).as_u32()
         ptr = ctx.make_numeric(ctx.pop()).as_u32()
-        data = bytes(self._rand.getrandbits(8) for _ in range(ln))
+        data = bytes(self._rand.next_byte() for _ in range(ln))
         ctx.memory.store_bytes(ptr, data)
         ctx.push(u32(0))
 
     def proc_exit(self):
         code = self.ctx.make_numeric(self.ctx.pop()).as_u32()
         raise ExitProgram(code)
+
+    # ---- wasi-libc bring-up stubs ------------------------------------
+    # The reference comments these out of its lookup table
+    # (``wasi_preview1.hpp:216-229``) so importing guests trap there;
+    # here they are implemented far enough for real wasi-libc guests to
+    # start deterministically (a prover must be a pure function of its
+    # inputs, so the clock is fixed and no filesystem is exposed).
+
+    _EBADF, _ENOSYS = 8, 52
+
+    def clock_time_get(self):
+        ctx = self.ctx
+        time_ptr = ctx.make_numeric(ctx.pop()).as_u32()
+        ctx.make_numeric(ctx.pop())          # precision (i64)
+        ctx.make_numeric(ctx.pop())          # clock id
+        ctx.memory.store_bytes(time_ptr, (0).to_bytes(8, "little"))
+        ctx.push(u32(0))
+
+    def fd_prestat_get(self):
+        ctx = self.ctx
+        ctx.pop()                             # prestat ptr
+        ctx.pop()                             # fd
+        ctx.push(u32(self._EBADF))            # no preopens: ends libc scan
+
+    def fd_prestat_dir_name(self):
+        ctx = self.ctx
+        for _ in range(3):
+            ctx.pop()
+        ctx.push(u32(self._EBADF))
+
+    def path_open(self):
+        ctx = self.ctx
+        for _ in range(9):
+            ctx.pop()
+        ctx.push(u32(self._ENOSYS))
+
+    def fd_readdir(self):
+        ctx = self.ctx
+        for _ in range(5):
+            ctx.pop()
+        ctx.push(u32(self._EBADF))
+
+    def fd_filestat_get(self):
+        ctx = self.ctx
+        for _ in range(2):
+            ctx.pop()
+        ctx.push(u32(self._EBADF))
+
+    def path_filestat_get(self):
+        ctx = self.ctx
+        for _ in range(5):
+            ctx.pop()
+        ctx.push(u32(self._ENOSYS))
 
     def finalize(self):
         pass

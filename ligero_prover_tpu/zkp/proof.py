@@ -9,6 +9,7 @@ recomputed identically on both sides so the proof stores only digests.
 from __future__ import annotations
 
 import gzip
+import os
 import time
 
 import numpy as np
@@ -50,7 +51,10 @@ def serialize_proof(root: bytes, code: np.ndarray, linear: np.ndarray,
     md.proof_schema_version = PROOF_SCHEMA_VERSION
     md.proof_type = common_pb.PROOF_TYPE_CLASSIC
     md.program_hash.value = program_hash
-    md.generated_at.seconds = int(time.time()) if timestamp is None else timestamp
+    if timestamp is None:
+        timestamp = int(os.environ.get("LIGERO_PROOF_TIMESTAMP",
+                                       int(time.time())))
+    md.generated_at.seconds = timestamp
     md.packing_size = k
     md.codeword_size = n
     md.sample_size = SAMPLE_SIZE
@@ -76,7 +80,10 @@ def serialize_proof(root: bytes, code: np.ndarray, linear: np.ndarray,
     proof.sampled_data.values.extend(
         np.asarray(samplings, np.uint32).reshape(-1).tolist())
 
-    return gzip.compress(env.SerializeToString(), compresslevel=6)
+    # mtime=0: the reference's boost gzip stream embeds no timestamp either;
+    # proof bytes must be a pure function of the transcript for the parity
+    # harness (SURVEY §4) to byte-compare them.
+    return gzip.compress(env.SerializeToString(), compresslevel=6, mtime=0)
 
 
 def deserialize_proof(blob: bytes) -> ProofData:

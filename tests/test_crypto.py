@@ -2,6 +2,8 @@
 
 import hashlib
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -105,6 +107,28 @@ def test_portable_sample_properties():
     # deterministic
     eng2 = HashRandomEngine(hashlib.sha256(b"seed").digest())
     assert portable_sample(1024, 192, eng2) == idx
+
+
+@pytest.mark.parametrize("transform", ["unrolled", "rolled"])
+def test_jax_sha256_transforms_match_hashlib(rng, transform, monkeypatch):
+    """Both compression-loop variants against the hashlib oracle, regardless
+    of which backend the runner dispatches to (ADVICE r2)."""
+    fn = (jsha.transform_unrolled if transform == "unrolled"
+          else jsha.transform_rolled)
+    monkeypatch.setattr(jsha, "transform", fn)
+    blk = jnp.zeros((16, 3), jnp.uint32)
+    st = fn(jsha.initial_state(3), blk)
+    expect = hashlib.sha256(bytes(64)).digest()  # un-finalized one-block msg
+    # compare raw compression output against hashlib of a 64-byte zero block
+    # by finalizing manually: absorb the padding block too
+    pad = bytearray(64)
+    pad[0] = 0x80
+    pad[56:64] = (512).to_bytes(8, "big")
+    pad_words = np.frombuffer(bytes(pad), ">u4").astype(np.uint32)
+    st = fn(st, jnp.asarray(pad_words.reshape(16, 1).repeat(3, axis=1)))
+    for c in range(3):
+        got = b"".join(int(st[w][c]).to_bytes(4, "big") for w in range(8))
+        assert got == expect
 
 
 def test_jax_sha256_matches_hashlib(rng):
