@@ -242,11 +242,29 @@ def mul_wide_matmul(x, y, out_limbs: int = 2 * NLIMB):
 
 
 def mul_wide(x, y, out_limbs: int = 2 * NLIMB):
-    """Backend-dispatching 256-bit multiply (see the two variants above)."""
+    """256-bit multiply — always the matmul form at the XLA level.
+
+    The unrolled convolution emits ~2.5k jaxpr eqns per call; with dozens
+    of call sites per pipeline that made cold tracing+compilation take >10
+    minutes on every backend.  The hot paths now run the digit convolution
+    inside Pallas kernels (``ops/pallas/fieldmul.py``) where it is traced
+    once per shape; the XLA fallback below only serves small/cold shapes.
+    """
+    return mul_wide_matmul(x, y, out_limbs)
+
+
+def _pallas_eligible(x, y) -> bool:
     import jax
     if jax.default_backend() == "cpu":
-        return mul_wide_matmul(x, y, out_limbs)
-    return mul_wide_conv(x, y, out_limbs)
+        return False
+    try:
+        shape = jnp.broadcast_shapes(x.shape, y.shape)
+    except ValueError:
+        return False
+    size = 1
+    for d in shape[:-1]:
+        size *= d
+    return size >= 1024
 
 
 def mul_lo(x, y):
@@ -259,7 +277,13 @@ def mont_mul(x, y):
 
     t = (U + m*p) >> 256 with m = (U mod 2^256) * J mod 2^256; the low 256
     bits of U + m*p vanish, so t = U_hi + (m*p)_hi + (U_lo != 0).
+
+    Large batches on TPU route to the Pallas kernel (one fused VMEM pass);
+    small/CPU shapes use the XLA digit-matmul fallback below.
     """
+    if _pallas_eligible(x, y):
+        from .pallas import fieldmul as _fm
+        return _fm.mont_mul_aos(x, y)
     u = mul_wide(x, y)
     u_lo = u[..., :NLIMB]
     u_hi = u[..., NLIMB:]
@@ -280,6 +304,9 @@ def mont_mul(x, y):
 def mulmod(x, y):
     """Full modular multiply via Montgomery with a correction factor folded
     into neither side: mont_mul(x*y) gives x*y*R^-1, so multiply by R^2."""
+    if _pallas_eligible(x, y):
+        from .pallas import fieldmul as _fm
+        return _fm.mulmod_aos(x, y)
     r2 = jnp.asarray(int_to_limbs(F.R * F.R % F.MODULUS), _U32)
     t = mont_mul(x, y)
     return mont_mul(t, jnp.broadcast_to(r2, t.shape))

@@ -79,10 +79,15 @@ def build_domain_tables(n: int, w: int):
                 ints_to_limbs([t * F.R % F.MODULUS for t in tw])))
         return tuple(stages)
 
+    fwd = stage_tws(w)
+    inv = stage_tws(w_inv)
     return {
         "rev": jnp.asarray(_bitrev(n)),
-        "fwd": stage_tws(w),
-        "inv": stage_tws(w_inv),
+        "fwd": fwd,
+        "inv": inv,
+        # planar (8, half) twiddle views for the Pallas butterfly kernels
+        "fwd_pl": tuple(t.T for t in fwd),
+        "inv_pl": tuple(t.T for t in inv),
         "n_inv_mont": jnp.asarray(int_to_limbs(n_inv * F.R % F.MODULUS)),
     }
 
@@ -132,9 +137,92 @@ def ntt_inverse(x, dom):
     return fo.mont_mul(y, dom["n_inv_mont"][None, None, :])
 
 
+# ---- planar (Pallas) stage loops ----------------------------------------
+#
+# Same math as the AoS loops above, but data flows limb-planar (8, B, N)
+# and every butterfly is one Pallas kernel call on (8, B*N/2) operands —
+# the same shape at every stage of a domain, so the ~3k-op Montgomery
+# digit convolution is traced and Mosaic-compiled exactly once per
+# geometry.  Twiddles broadcast from their (8, half) planar views; the
+# reshapes around each kernel are static and fuse away in XLA.
+
+def _planar_use() -> bool:
+    import jax
+    if USE_PLANAR is not None:
+        return USE_PLANAR
+    return jax.default_backend() != "cpu"
+
+
+USE_PLANAR: bool | None = None   # None = auto (Pallas on TPU)
+
+
+def _tw_planar(tw_pl, b_, g, h):
+    return jnp.broadcast_to(tw_pl[:, None, None, :],
+                            (NLIMB, b_, g, h)).reshape(NLIMB, -1)
+
+
+def _dit_stages_planar(x, tws_pl, first_stage: int = 1):
+    from .pallas import fieldmul as fm
+    nl, b_, n = x.shape
+    log2n = n.bit_length() - 1
+    for s in range(first_stage, log2n + 1):
+        length = 1 << s
+        half = length >> 1
+        g = n // length
+        v = x.reshape(nl, b_, g, 2, half)
+        a = v[:, :, :, 0].reshape(nl, -1)
+        b = v[:, :, :, 1].reshape(nl, -1)
+        w = _tw_planar(tws_pl[s - 1], b_, g, half)
+        s_, d_ = fm.butterfly_dit(a, b, w)
+        x = jnp.stack([s_.reshape(nl, b_, g, half),
+                       d_.reshape(nl, b_, g, half)], axis=3) \
+            .reshape(nl, b_, n)
+    return x
+
+
+def _dif_stages_planar(x, tws_pl):
+    from .pallas import fieldmul as fm
+    nl, b_, n = x.shape
+    log2n = n.bit_length() - 1
+    for s in range(log2n, 0, -1):
+        length = 1 << s
+        half = length >> 1
+        g = n // length
+        v = x.reshape(nl, b_, g, 2, half)
+        a = v[:, :, :, 0].reshape(nl, -1)
+        b = v[:, :, :, 1].reshape(nl, -1)
+        w = _tw_planar(tws_pl[s - 1], b_, g, half)
+        s_, d_ = fm.butterfly_dif(a, b, w)
+        x = jnp.stack([s_.reshape(nl, b_, g, half),
+                       d_.reshape(nl, b_, g, half)], axis=3) \
+            .reshape(nl, b_, n)
+    return x
+
+
+def encode_rows_planar(rows, dom_msg, dom_n, n: int):
+    """Planar-pipeline twin of :func:`encode_rows` (same contract)."""
+    from .pallas import fieldmul as fm
+    w = rows.shape[1]
+    x = jnp.moveaxis(rows, -1, 0)                  # (8, B, w)
+    x = _dif_stages_planar(x, dom_msg["inv_pl"])
+    x = fm.mont_mul_scalar_planar(
+        x.reshape(NLIMB, -1), dom_msg["n_inv_mont"]).reshape(x.shape)
+    ratio = n // w
+    x = jnp.repeat(x, ratio, axis=2)
+    x = _dit_stages_planar(x, dom_n["fwd_pl"],
+                           first_stage=ratio.bit_length())
+    return jnp.moveaxis(x, 0, -1)                  # (B, n, 8)
+
+
 # ---- codec functions (tables as arguments; jit at call sites) -----------
 
 def encode_rows(rows, dom_msg, dom_n, n: int):
+    if _planar_use():
+        return encode_rows_planar(rows, dom_msg, dom_n, n)
+    return _encode_rows_aos(rows, dom_msg, dom_n, n)
+
+
+def _encode_rows_aos(rows, dom_msg, dom_n, n: int):
     """(B, w, 8) message-domain rows -> (B, n, 8) codewords.
 
     iNTT as DIF (bit-reversed coefficients), zero-extension as a repeat
