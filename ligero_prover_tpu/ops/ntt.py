@@ -81,6 +81,28 @@ def build_domain_tables(n: int, w: int):
 
     fwd = stage_tws(w)
     inv = stage_tws(w_inv)
+
+    def cg_tws(root):
+        """Constant-geometry stage twiddles, stacked (log2n, n/2, 8):
+        stage t uses w^texp(t, j) with texp = j with its low (log2n-1-t)
+        bits cleared — derived by conjugating the classic in-place DIT
+        with the read-adjacent/write-halves dataflow (identity output
+        permutation; validated against the golden model)."""
+        h = n // 2
+        out = np.empty((log2n, h, NLIMB), np.uint32)
+        for t in range(log2n):
+            s = log2n - 1 - t
+            # stage-t twiddle vector = each distinct power repeated 2^s
+            # times: tw[j] = root^((j >> s) << s)
+            step = pow(root, 1 << s, F.MODULUS)
+            vals = [0] * (1 << t)
+            acc = F.R % F.MODULUS                  # 1 in Montgomery form
+            for i in range(1 << t):
+                vals[i] = acc
+                acc = acc * step % F.MODULUS
+            out[t] = np.repeat(ints_to_limbs(vals), 1 << s, axis=0)
+        return jnp.asarray(out)
+
     return {
         "rev": jnp.asarray(_bitrev(n)),
         "fwd": fwd,
@@ -88,6 +110,9 @@ def build_domain_tables(n: int, w: int):
         # planar (8, half) twiddle views for the Pallas butterfly kernels
         "fwd_pl": tuple(t.T for t in fwd),
         "inv_pl": tuple(t.T for t in inv),
+        # constant-geometry (scan) twiddles, DIT stage order t=0..log2n-1
+        "cg_fwd": cg_tws(w),
+        "cg_inv": cg_tws(w_inv),
         "n_inv_mont": jnp.asarray(int_to_limbs(n_inv * F.R % F.MODULUS)),
     }
 
@@ -214,12 +239,169 @@ def encode_rows_planar(rows, dom_msg, dom_n, n: int):
     return jnp.moveaxis(x, 0, -1)                  # (B, n, 8)
 
 
+# ---- constant-geometry (Pease) scan loops --------------------------------
+#
+# Every stage is the SAME fixed-shape body (read adjacent pairs, write
+# halves for DIT; the transposed flow for DIF), so the whole stage loop is
+# one ``lax.scan`` over stacked twiddles — the butterfly body is traced and
+# compiled exactly once per geometry instead of log2(n) times.  This is
+# what makes cold compiles take seconds instead of minutes (the unrolled
+# loops below are kept as differential references).
+#
+#   DIT stage t:  a = x[0::2]; b = x[1::2]; wb = tw*b
+#                 x = [a + wb ; a - wb]            (halves)
+#   DIF stage t:  a = x[:h];   b = x[h:]
+#                 x = interleave(a + b, (a - b)*tw)
+#
+# DIT consumes bit-reversed input and produces NATURAL output with no
+# final permutation; DIF is its transpose (natural -> bit-reversed).
+# Zero-extension k -> n in this flow is ``tile`` (concatenated copies,
+# NOT interleaved repeat), after which the first log2(n/k) DIT stages
+# are identities and are skipped.  Validated against ``field.golden``.
+
+def _cg_dit_scan(x, tws, first_stage: int = 0):
+    """x (B, N, 8) bit-reversed -> natural; tws (log2N, N/2, 8)."""
+    import jax
+    b_, n = x.shape[0], x.shape[1]
+    h = n // 2
+
+    def body(x, tw):
+        v = x.reshape(b_, h, 2, NLIMB)
+        a, b = v[:, :, 0], v[:, :, 1]
+        wb = fo.mont_mul(b, tw[None])
+        return (jnp.concatenate([fo.addmod(a, wb), fo.submod(a, wb)],
+                                axis=1), None)
+
+    x, _ = jax.lax.scan(body, x, tws[first_stage:])
+    return x
+
+
+def _cg_dif_scan(x, tws):
+    """x (B, N, 8) natural -> bit-reversed; consumes tws back-to-front."""
+    import jax
+    b_, n = x.shape[0], x.shape[1]
+    h = n // 2
+
+    def body(x, tw):
+        a, b = x[:, :h], x[:, h:]
+        s = fo.addmod(a, b)
+        d = fo.mont_mul(fo.submod(a, b), tw[None])
+        return (jnp.stack([s, d], axis=2).reshape(b_, n, NLIMB), None)
+
+    x, _ = jax.lax.scan(body, x, tws, reverse=True)
+    return x
+
+
+def encode_rows_cg(rows, dom_msg, dom_n, n: int):
+    """Constant-geometry encode: iNTT_w (DIF scan), scale, zero-extend
+    (tile), NTT_n (DIT scan) — same contract as :func:`_encode_rows_aos`."""
+    w = rows.shape[1]
+    x = _cg_dif_scan(rows, dom_msg["cg_inv"])
+    x = fo.mont_mul(x, dom_msg["n_inv_mont"][None, None])
+    ratio = n // w
+    x = jnp.tile(x, (1, ratio, 1))
+    return _cg_dit_scan(x, dom_n["cg_fwd"],
+                        first_stage=ratio.bit_length() - 1)
+
+
+def decode_rows_cg(codewords, dom_k, dom_n, k: int):
+    """Constant-geometry decode — same contract as :func:`decode_rows`."""
+    b_, n = codewords.shape[0], codewords.shape[1]
+    assert n == 4 * k
+    coeffs = _cg_dif_scan(codewords, dom_n["cg_inv"])
+    coeffs = fo.mont_mul(coeffs, dom_n["n_inv_mont"][None, None])
+    v = coeffs.reshape(b_, k, 4, NLIMB)
+    folded = fo.addmod(v[:, :, 0], v[:, :, 2])
+    evals = _cg_dit_scan(folded, dom_k["cg_fwd"])
+    coeffs_nat = jnp.take(coeffs, dom_n["rev"], axis=1)
+    return jnp.concatenate([evals, coeffs_nat[:, k:]], axis=1)
+
+
+def _cg_dit_scan_planar(x, tws, first_stage: int = 0):
+    """Planar twin: x (8, B, N); tws (log2N, N/2, 8)."""
+    import jax
+    from .pallas import fieldmul as fm
+    nl, b_, n = x.shape
+    h = n // 2
+
+    def body(x, tw):
+        v = x.reshape(nl, b_, h, 2)
+        a = v[:, :, :, 0].reshape(nl, -1)
+        b = v[:, :, :, 1].reshape(nl, -1)
+        w = jnp.broadcast_to(tw.T[:, None, :], (nl, b_, h)).reshape(nl, -1)
+        s_, d_ = fm.butterfly_dit(a, b, w)
+        return (jnp.concatenate([s_.reshape(nl, b_, h),
+                                 d_.reshape(nl, b_, h)], axis=2), None)
+
+    x, _ = jax.lax.scan(body, x, tws[first_stage:])
+    return x
+
+
+def _cg_dif_scan_planar(x, tws):
+    import jax
+    from .pallas import fieldmul as fm
+    nl, b_, n = x.shape
+    h = n // 2
+
+    def body(x, tw):
+        a = x[:, :, :h].reshape(nl, -1)
+        b = x[:, :, h:].reshape(nl, -1)
+        w = jnp.broadcast_to(tw.T[:, None, :], (nl, b_, h)).reshape(nl, -1)
+        s_, d_ = fm.butterfly_dif(a, b, w)
+        return (jnp.stack([s_.reshape(nl, b_, h),
+                           d_.reshape(nl, b_, h)], axis=3)
+                .reshape(nl, b_, n), None)
+
+    x, _ = jax.lax.scan(body, x, tws, reverse=True)
+    return x
+
+
+def encode_rows_cg_planar(rows, dom_msg, dom_n, n: int):
+    """Planar constant-geometry encode (Pallas butterflies in a scan)."""
+    from .pallas import fieldmul as fm
+    w = rows.shape[1]
+    x = jnp.moveaxis(rows, -1, 0)                  # (8, B, w)
+    x = _cg_dif_scan_planar(x, dom_msg["cg_inv"])
+    x = fm.mont_mul_scalar_planar(
+        x.reshape(NLIMB, -1), dom_msg["n_inv_mont"]).reshape(x.shape)
+    ratio = n // w
+    x = jnp.tile(x, (1, 1, ratio))
+    x = _cg_dit_scan_planar(x, dom_n["cg_fwd"],
+                            first_stage=ratio.bit_length() - 1)
+    return jnp.moveaxis(x, 0, -1)                  # (B, n, 8)
+
+
+def decode_rows_cg_planar(codewords, dom_k, dom_n, k: int):
+    """Planar constant-geometry decode."""
+    from .pallas import fieldmul as fm
+    b_, n = codewords.shape[0], codewords.shape[1]
+    assert n == 4 * k
+    x = jnp.moveaxis(codewords, -1, 0)             # (8, B, n)
+    x = _cg_dif_scan_planar(x, dom_n["cg_inv"])
+    x = fm.mont_mul_scalar_planar(
+        x.reshape(NLIMB, -1), dom_n["n_inv_mont"]).reshape(x.shape)
+    v = x.reshape(NLIMB, b_, k, 4)
+    folded = fm.addmod_planar(v[..., 0].reshape(NLIMB, -1),
+                              v[..., 2].reshape(NLIMB, -1)) \
+        .reshape(NLIMB, b_, k)
+    evals = _cg_dit_scan_planar(folded, dom_k["cg_fwd"])
+    coeffs = jnp.moveaxis(x, 0, -1)                # (B, n, 8) bit-reversed
+    coeffs_nat = jnp.take(coeffs, dom_n["rev"], axis=1)
+    return jnp.concatenate([jnp.moveaxis(evals, 0, -1),
+                            coeffs_nat[:, k:]], axis=1)
+
+
 # ---- codec functions (tables as arguments; jit at call sites) -----------
 
-def encode_rows(rows, dom_msg, dom_n, n: int):
-    if _planar_use():
-        return encode_rows_planar(rows, dom_msg, dom_n, n)
-    return _encode_rows_aos(rows, dom_msg, dom_n, n)
+def encode_rows(rows, dom_msg, dom_n, n: int, use_planar: bool | None = None):
+    """`use_planar` must be a static (trace-time) Python bool; callers that
+    jit this function make it part of the jit cache key (static argnum) so
+    toggling :data:`USE_PLANAR` reliably switches paths."""
+    if use_planar is None:
+        use_planar = _planar_use()
+    if use_planar:
+        return encode_rows_cg_planar(rows, dom_msg, dom_n, n)
+    return encode_rows_cg(rows, dom_msg, dom_n, n)
 
 
 def _encode_rows_aos(rows, dom_msg, dom_n, n: int):
@@ -238,7 +420,17 @@ def _encode_rows_aos(rows, dom_msg, dom_n, n: int):
                        first_stage=ratio.bit_length())  # log2(ratio) + 1
 
 
-def decode_rows(codewords, dom_k, dom_n, k: int):
+def decode_rows(codewords, dom_k, dom_n, k: int,
+                use_planar: bool | None = None):
+    """Dispatcher: constant-geometry decode, planar (Pallas) or AoS."""
+    if use_planar is None:
+        use_planar = _planar_use()
+    if use_planar:
+        return decode_rows_cg_planar(codewords, dom_k, dom_n, k)
+    return decode_rows_cg(codewords, dom_k, dom_n, k)
+
+
+def _decode_rows_aos(codewords, dom_k, dom_n, k: int):
     """(B, n, 8) -> (B, n, 8): [0,k) k-domain evaluations, [k,n) raw
     coefficients (degree check).
 
@@ -270,14 +462,17 @@ class RSCodec:
         self.dom_k = build_domain_tables(k, w_k)
         self.dom_2k = build_domain_tables(2 * k, w_2k)
         self.dom_n = build_domain_tables(n, w_n)
-        self._encode = jax.jit(encode_rows, static_argnums=(3,))
-        self._decode = jax.jit(decode_rows, static_argnums=(3,))
+        self._encode = jax.jit(encode_rows, static_argnums=(3, 4))
+        self._decode = jax.jit(decode_rows, static_argnums=(3, 4))
 
     def encode(self, rows):
-        return self._encode(rows, self.dom_k, self.dom_n, self.n)
+        return self._encode(rows, self.dom_k, self.dom_n, self.n,
+                            _planar_use())
 
     def encode_2k(self, rows):
-        return self._encode(rows, self.dom_2k, self.dom_n, self.n)
+        return self._encode(rows, self.dom_2k, self.dom_n, self.n,
+                            _planar_use())
 
     def decode(self, codewords):
-        return self._decode(codewords, self.dom_k, self.dom_n, self.k)
+        return self._decode(codewords, self.dom_k, self.dom_n, self.k,
+                            _planar_use())

@@ -249,6 +249,10 @@ def _k_butterfly_dif(a_ref, b_ref, w_ref, s_ref, d_ref):
     _write(d_ref, _mont_mul_t(_submod_t(a, b), _split16(_read(w_ref))))
 
 
+def _k_addmod(x_ref, y_ref, o_ref):
+    _write(o_ref, _addmod_t(_read(x_ref), _read(y_ref)))
+
+
 def _k_mont_mul(x_ref, y_ref, o_ref):
     _write(o_ref, _mont_mul_t(_read(x_ref), _split16(_read(y_ref))))
 
@@ -343,6 +347,10 @@ def butterfly_dit(a, b, w):
 def butterfly_dif(a, b, w):
     s, d = _run("butterfly_dif", 2, a, b, w)
     return s.reshape(a.shape), d.reshape(a.shape)
+
+
+def addmod_planar(x, y):
+    return _run("addmod", 1, x, y).reshape(x.shape)
 
 
 def mont_mul_planar(x, y):

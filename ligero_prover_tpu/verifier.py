@@ -30,7 +30,7 @@ from .zkp.csprng import HashRandomEngine
 from .zkp.sampling import portable_sample
 from .zkp.merkle import recommit
 from .zkp.executor import TpuExecutor
-from .zkp.context import VerifierContext
+from .zkp.context import VerifierContext, ProofRejected
 from .zkp.proof import deserialize_proof
 
 
@@ -80,13 +80,13 @@ def verify(program, proof_blob: bytes, *,
 
     res = VerifyResult()
     with timer("verify"):
-        vctx = VerifierContext(executor, l, sample_index,
-                               proof.host_samplings)
-        vctx.init_witness_random(seed1, IV_ANY)
         try:
+            vctx = VerifierContext(executor, l, sample_index,
+                                   proof.host_samplings)
+            vctx.init_witness_random(seed1, IV_ANY)
             program(vctx)
             vctx.finalize()
-        except (WasmTrap, ExitProgram, ValueError, IndexError) as e:
+        except (WasmTrap, ExitProgram, ProofRejected) as e:
             # Protocol-level rejection: a forged/truncated proof makes the
             # re-execution trap or run out of opened columns — reject
             # quietly, matching the reference's reject-by-exception

@@ -17,8 +17,11 @@ class _MT19937:
     """Raw MT19937 matching ``std::mt19937`` (init_genrand seeding) so
     ``random_get`` reproduces the reference byte stream exactly
     (``wasi_preview1.hpp:198-210``: default-constructed engine, seed 5489;
-    libstdc++ ``uniform_int_distribution(0,255)`` divides each 32-bit draw
-    by 2^24 — no rejection since 256 | 2^32)."""
+    libstdc++ ``uniform_int_distribution(0,255)`` with urngrange
+    2^32 - 1 computes scaling = (2^32-1)//256 = 16777215, rejects draws
+    >= 256*16777215 = 4294967040, and returns draw // scaling — the
+    rejection fires roughly once per ~16.8M draws, so a plain
+    top-8-bits shortcut diverges from the reference byte stream)."""
 
     def __init__(self, seed: int = 5489):
         mt = [seed & 0xFFFFFFFF]
@@ -49,8 +52,14 @@ class _MT19937:
         y ^= y >> 18
         return y
 
+    _UID_SCALING = (2**32 - 1) // 256          # 16777215
+    _UID_PAST = 256 * _UID_SCALING             # 4294967040
+
     def next_byte(self) -> int:
-        return self.next_u32() >> 24  # == draw / 2^24 (top 8 bits)
+        d = self.next_u32()
+        while d >= self._UID_PAST:
+            d = self.next_u32()
+        return d // self._UID_SCALING
 
 
 class WasiModule:

@@ -25,6 +25,11 @@ from .executor import TpuExecutor, NLIMB
 from ..params import NUM_CODE_TEST, NUM_LINEAR_TEST, NUM_QUADRATIC_TEST
 
 
+class ProofRejected(Exception):
+    """Raised when proof-supplied data is exhausted or malformed during
+    verifier re-execution — a protocol-level rejection, not a bug."""
+
+
 class _ContextBase:
     """Owns the backend and wires manager callbacks."""
 
@@ -410,6 +415,8 @@ class VerifierContext(_ContextBase):
         z = jnp.zeros((self.S, NLIMB), jnp.uint32)
         self.accs = (z, z, z)
         self._pop = 0
+        if host_samplings.size % (self.S * NLIMB) != 0:
+            raise ProofRejected("opened-column data has invalid size")
         self._proof_samples = host_samplings.reshape(-1, self.S, NLIMB)
         self._samples: list[np.ndarray] = []
         self._rands: list[np.ndarray] = []
@@ -419,7 +426,7 @@ class VerifierContext(_ContextBase):
 
     def _pop_sample(self) -> np.ndarray:
         if self._pop >= len(self._proof_samples):
-            raise ValueError("proof has too few opened rows")
+            raise ProofRejected("proof has too few opened rows")
         s = self._proof_samples[self._pop]
         self._pop += 1
         return s

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..field.limbs import ints_to_limbs
 from ..ops import sha256 as jsha
 from ..ops import fieldops as fo
-from ..ops.ntt import RSCodec, encode_rows, decode_rows
+from ..ops.ntt import RSCodec, encode_rows, decode_rows, _planar_use
 
 NLIMB = 8
 
@@ -72,8 +72,8 @@ def _masked_sum(acc, terms):
 # ---- jitted pipeline bodies (module-level; tables passed in) -------------
 
 def _commit_body(state, pending, has_pending, rows, valid_count,
-                 dom_msg, dom_n, n):
-    cws = encode_rows(rows, dom_msg, dom_n, n)
+                 dom_msg, dom_n, n, use_planar=False):
+    cws = encode_rows(rows, dom_msg, dom_n, n, use_planar)
     return _absorb_stream(state, pending, has_pending, cws, valid_count)
 
 
@@ -93,33 +93,37 @@ def _quad_contrib(quad, e, tri_idx, tri_r, pair_idx, pair_r):
 
 
 def _check_body(code, linear, quad, rows, rands, code_rs, tri_idx, tri_r,
-                pair_idx, pair_r, dom_k, dom_n, n):
-    e = encode_rows(rows, dom_k, dom_n, n)
-    r = encode_rows(rands, dom_k, dom_n, n)
+                pair_idx, pair_r, dom_k, dom_n, n, use_planar=False):
+    e = encode_rows(rows, dom_k, dom_n, n, use_planar)
+    r = encode_rows(rands, dom_k, dom_n, n, use_planar)
     code = _masked_sum(code, fo.mulmod(e, code_rs[:, None, :]))
     linear = _masked_sum(linear, fo.mulmod(e, r))
     quad = _quad_contrib(quad, e, tri_idx, tri_r, pair_idx, pair_r)
     return code, linear, quad
 
 
-def _mask_body(code, linear, quad, cr, lr, qr, dom_k, dom_2k, dom_n, n):
-    code = fo.addmod(code, encode_rows(cr[None], dom_k, dom_n, n)[0])
-    linear = fo.addmod(linear, encode_rows(lr[None], dom_2k, dom_n, n)[0])
-    quad = fo.addmod(quad, encode_rows(qr[None], dom_2k, dom_n, n)[0])
+def _mask_body(code, linear, quad, cr, lr, qr, dom_k, dom_2k, dom_n, n,
+               use_planar=False):
+    code = fo.addmod(code, encode_rows(cr[None], dom_k, dom_n, n,
+                                       use_planar)[0])
+    linear = fo.addmod(linear, encode_rows(lr[None], dom_2k, dom_n, n,
+                                           use_planar)[0])
+    quad = fo.addmod(quad, encode_rows(qr[None], dom_2k, dom_n, n,
+                                       use_planar)[0])
     return code, linear, quad
 
 
-def _open_body(rows, idx, dom_msg, dom_n, n):
-    cws = encode_rows(rows, dom_msg, dom_n, n)
+def _open_body(rows, idx, dom_msg, dom_n, n, use_planar=False):
+    cws = encode_rows(rows, dom_msg, dom_n, n, use_planar)
     return jnp.take(cws, idx, axis=1)
 
 
 def _verify_body(state, pending, has_pending, code, linear, quad,
                  samples, rands, code_rs, tri_idx, tri_r, pair_idx, pair_r,
-                 idx, valid_count, dom_k, dom_n, n):
+                 idx, valid_count, dom_k, dom_n, n, use_planar=False):
     state, pending, has_pending = _absorb_stream(
         state, pending, has_pending, samples, valid_count)
-    r_full = encode_rows(rands, dom_k, dom_n, n)
+    r_full = encode_rows(rands, dom_k, dom_n, n, use_planar)
     r = jnp.take(r_full, idx, axis=1)           # (B, S, 8)
     code = _masked_sum(code, fo.mulmod(samples, code_rs[:, None, :]))
     linear = _masked_sum(linear, fo.mulmod(samples, r))
@@ -136,11 +140,11 @@ def _verify_mask_body(state, pending, has_pending, code, linear, quad, ms):
     return state, pending, has_pending, code, linear, quad
 
 
-_commit_jit = jax.jit(_commit_body, static_argnums=(7,))
-_check_jit = jax.jit(_check_body, static_argnums=(12,))
-_mask_jit = jax.jit(_mask_body, static_argnums=(9,))
-_open_jit = jax.jit(_open_body, static_argnums=(4,))
-_verify_jit = jax.jit(_verify_body, static_argnums=(17,))
+_commit_jit = jax.jit(_commit_body, static_argnums=(7, 8))
+_check_jit = jax.jit(_check_body, static_argnums=(12, 13))
+_mask_jit = jax.jit(_mask_body, static_argnums=(9, 10))
+_open_jit = jax.jit(_open_body, static_argnums=(4, 5))
+_verify_jit = jax.jit(_verify_body, static_argnums=(17, 18))
 _verify_mask_jit = jax.jit(_verify_mask_body)
 
 
@@ -167,7 +171,7 @@ class TpuExecutor:
         state, pending, has_pending = sha
         return _commit_jit(state, pending, has_pending, jnp.asarray(rows),
                            jnp.asarray(valid_count, jnp.int32),
-                           dom, self.codec.dom_n, self.n)
+                           dom, self.codec.dom_n, self.n, _planar_use())
 
     # ---- stage 2: checks -------------------------------------------------
 
@@ -177,13 +181,14 @@ class TpuExecutor:
                           jnp.asarray(code_rs), jnp.asarray(tri_idx),
                           jnp.asarray(tri_r), jnp.asarray(pair_idx),
                           jnp.asarray(pair_r),
-                          self.codec.dom_k, self.codec.dom_n, self.n)
+                          self.codec.dom_k, self.codec.dom_n, self.n,
+                          _planar_use())
 
     def mask_step(self, accs, code_row, linear_row, quad_row):
         return _mask_jit(*accs, jnp.asarray(code_row),
                          jnp.asarray(linear_row), jnp.asarray(quad_row),
                          self.codec.dom_k, self.codec.dom_2k,
-                         self.codec.dom_n, self.n)
+                         self.codec.dom_n, self.n, _planar_use())
 
     # ---- stage 3: openings ----------------------------------------------
 
@@ -191,7 +196,7 @@ class TpuExecutor:
         dom = self.codec.dom_2k if width_2k else self.codec.dom_k
         return _open_jit(jnp.asarray(rows),
                          jnp.asarray(sample_idx, jnp.int32),
-                         dom, self.codec.dom_n, self.n)
+                         dom, self.codec.dom_n, self.n, _planar_use())
 
     # ---- verifier --------------------------------------------------------
 
@@ -205,7 +210,8 @@ class TpuExecutor:
                           jnp.asarray(pair_r),
                           jnp.asarray(sample_idx, jnp.int32),
                           jnp.asarray(valid_count, jnp.int32),
-                          self.codec.dom_k, self.codec.dom_n, self.n)
+                          self.codec.dom_k, self.codec.dom_n, self.n,
+                          _planar_use())
         return (out[0], out[1], out[2]), (out[3], out[4], out[5])
 
     def verify_mask_step(self, sha, accs, mask_samples):

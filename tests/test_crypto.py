@@ -176,3 +176,24 @@ def test_merkle_structure():
     t = merkle.MerkleTree(leaves)
     h = lambda a, b: hashlib.sha256(a + b).digest()
     assert t.root == h(h(leaves[0], leaves[1]), h(leaves[2], leaves[3]))
+
+
+def test_wasi_mt19937_libstdcxx_parity():
+    """random_get byte stream must match libstdc++
+    uniform_int_distribution<int>(0,255) over a default std::mt19937
+    (``wasi_preview1.hpp:198-210``) — including the ~1-in-16.8M rejection
+    of draws >= 4294967040.  Expected bytes generated by g++/libstdc++ 13
+    (see the divide-by-scaling algorithm in bits/uniform_int_dist.h)."""
+    from ligero_prover_tpu.vm.hostmods.wasi import _MT19937
+
+    first32 = [208, 34, 231, 213, 32, 248, 233, 56, 161, 78, 24, 140, 71,
+               48, 140, 254, 245, 255, 247, 247, 40, 185, 248, 251, 245,
+               28, 124, 204, 204, 76, 36, 1]
+    # bytes 999984..1000015 — past at least one rejection event
+    far32 = [151, 55, 245, 54, 234, 81, 12, 112, 136, 43, 166, 148, 203,
+             76, 170, 63, 186, 107, 124, 15, 87, 179, 135, 129, 32, 21,
+             149, 96, 38, 94, 143, 139]
+    m = _MT19937()
+    got = [m.next_byte() for _ in range(1000016)]
+    assert got[:32] == first32
+    assert got[999984:] == far32

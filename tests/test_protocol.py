@@ -82,6 +82,20 @@ def test_prove_verify_roundtrip(program):
     assert v.ok
 
 
+def test_proof_bytes_deterministic(monkeypatch):
+    """Two prove() runs at a fixed encoding seed + timestamp must produce
+    identical bytes (``zkp/proof.py``: gzip mtime=0, injectable timestamp).
+    This pins the transcript: any nondeterminism in randomness draw order,
+    commit order, or serialization shows up here."""
+    monkeypatch.setenv("LIGERO_PROOF_TIMESTAMP", "1700000000")
+    a = prove(simple_program, geometry=GEO, executor=executor(),
+              encoding_seed=bytes(range(32)))
+    b = prove(simple_program, geometry=GEO, executor=executor(),
+              encoding_seed=bytes(range(32)))
+    assert a.ok and b.ok
+    assert a.proof == b.proof
+
+
 def test_tampered_proof_rejected():
     res = prove(simple_program, geometry=GEO, executor=executor(),
                 encoding_seed=bytes(32))
