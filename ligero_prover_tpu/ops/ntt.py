@@ -356,8 +356,11 @@ def _cg_dif_scan_planar(x, tws):
     return x
 
 
-def encode_rows_cg_planar(rows, dom_msg, dom_n, n: int):
-    """Planar constant-geometry encode (Pallas butterflies in a scan)."""
+def encode_rows_cg_planar_core(rows, dom_msg, dom_n, n: int):
+    """Planar constant-geometry encode core: AoS rows in, PLANAR
+    (8, B, n) codewords out — callers that consume planar data (the
+    stage-1 SHA absorb reads blocks as limb-major slices) avoid the
+    33 MB/batch relayout of a final moveaxis."""
     from .pallas import fieldmul as fm
     w = rows.shape[1]
     x = jnp.moveaxis(rows, -1, 0)                  # (8, B, w)
@@ -366,9 +369,14 @@ def encode_rows_cg_planar(rows, dom_msg, dom_n, n: int):
         x.reshape(NLIMB, -1), dom_msg["n_inv_mont"]).reshape(x.shape)
     ratio = n // w
     x = jnp.tile(x, (1, 1, ratio))
-    x = _cg_dit_scan_planar(x, dom_n["cg_fwd"],
-                            first_stage=ratio.bit_length() - 1)
-    return jnp.moveaxis(x, 0, -1)                  # (B, n, 8)
+    return _cg_dit_scan_planar(x, dom_n["cg_fwd"],
+                               first_stage=ratio.bit_length() - 1)
+
+
+def encode_rows_cg_planar(rows, dom_msg, dom_n, n: int):
+    """Planar constant-geometry encode (Pallas butterflies in a scan)."""
+    return jnp.moveaxis(
+        encode_rows_cg_planar_core(rows, dom_msg, dom_n, n), 0, -1)
 
 
 def decode_rows_cg_planar(codewords, dom_k, dom_n, k: int):

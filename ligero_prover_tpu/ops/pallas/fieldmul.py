@@ -306,6 +306,11 @@ def _build(kernel_name: str, t_tiles: int, n_outs: int, n_ins: int,
         out_shape=out_shape,
         interpret=interpret,
     )
+    if interpret:
+        # Interpret mode (CPU tests) must run eagerly: jitting it compiles
+        # the ~3k-eqn digit convolution through XLA, which takes minutes
+        # per kernel on CPU — the exact pathology the Pallas path avoids.
+        return fn
     # jit so the ~3k-eqn kernel body is traced once per shape even when the
     # same kernel appears at many call sites inside an outer jit (all NTT
     # stages of a domain share one signature — see module docstring).

@@ -22,7 +22,9 @@ import jax.numpy as jnp
 
 _U32 = jnp.uint32
 
-K = jnp.asarray(np.array([
+# numpy, NOT jnp: a module-level device constant would initialize the
+# JAX backend (and under axon, the TPU tunnel) at import time.
+K = np.array([
     0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
     0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
     0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
@@ -33,7 +35,7 @@ K = jnp.asarray(np.array([
     0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
     0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
     0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
-    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2], dtype=np.uint32))
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2], dtype=np.uint32)
 
 INIT_STATE = np.array([
     0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
@@ -49,7 +51,7 @@ def _rotr(x, r):
     return (x >> r) | (x << (32 - r))
 
 
-_K_INTS = [int(k) for k in np.asarray(K)]
+_K_INTS = [int(k) for k in K]
 
 
 def transform_unrolled(state, block):

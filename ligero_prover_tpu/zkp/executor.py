@@ -62,6 +62,31 @@ def _absorb_stream(state, pending, has_pending, rows, valid_count):
     return state, new_pending, (total % 2) == 1
 
 
+def _absorb_stream_planar(state, pending, has_pending, cws, valid_count):
+    """Planar twin of :func:`_absorb_stream`: cws is (8, B, C) limb-major.
+
+    A SHA block's 16 message words are the 8 limbs of two consecutive
+    elements, which in planar layout are two (8, C) slices — stacking them
+    is free, so the absorb needs NO minor-axis transposes (the AoS path's
+    (P, C, 8) -> (P, 16, C) relayouts were ~80% of commit_step wall time
+    on TPU).  `pending` stays (C, 8) at the interface for compatibility."""
+    bsz = cws.shape[1]
+    stream = jnp.concatenate([pending.T[:, None, :], cws], axis=1)
+    hp = has_pending.astype(jnp.int32)
+    start = 1 - hp
+    total = valid_count + hp
+    pairs = total // 2
+    nblocks = (bsz + 1) // 2
+    for i in range(nblocks):
+        pair = jax.lax.dynamic_slice_in_dim(stream, start + 2 * i, 2, axis=1)
+        block = jnp.concatenate([pair[:, 0], pair[:, 1]], axis=0)  # (16, C)
+        state = jnp.where(i < pairs, jsha.transform(state, block), state)
+    idx = jnp.clip(start + 2 * pairs, 0, bsz)
+    new_pending = jax.lax.dynamic_slice_in_dim(
+        stream, idx, 1, axis=1)[:, 0].T
+    return state, new_pending, (total % 2) == 1
+
+
 def _masked_sum(acc, terms):
     """acc (n, 8) += field-sum over axis 0 of terms (B, n, 8)."""
     def body(i, a):
@@ -73,6 +98,11 @@ def _masked_sum(acc, terms):
 
 def _commit_body(state, pending, has_pending, rows, valid_count,
                  dom_msg, dom_n, n, use_planar=False):
+    if use_planar:
+        from ..ops.ntt import encode_rows_cg_planar_core
+        cws = encode_rows_cg_planar_core(rows, dom_msg, dom_n, n)
+        return _absorb_stream_planar(state, pending, has_pending, cws,
+                                     valid_count)
     cws = encode_rows(rows, dom_msg, dom_n, n, use_planar)
     return _absorb_stream(state, pending, has_pending, cws, valid_count)
 

@@ -1,8 +1,18 @@
 import os
 
 # Force CPU with a virtual 8-device mesh for sharding tests; the real TPU
-# is exercised only by bench.py.  NOTE: the axon harness overrides the
-# JAX_PLATFORMS env var, so the config API must be used instead.
+# is exercised only by bench.py.
+#
+# CRITICAL: this must happen via the env var BEFORE jax is imported.  The
+# axon harness exports JAX_PLATFORMS=axon + PALLAS_AXON_REMOTE_COMPILE=1;
+# if the axon plugin activates, even "CPU" executables are compiled on a
+# REMOTE machine with different CPU features (cpu_aot_loader then warns
+# "could lead to SIGILL" when loading them back — the source of the
+# historic combined-suite segfaults), cache loads stall for minutes, and
+# process teardown can hang in native code.  Selecting cpu via
+# jax.config.update() after import is NOT equivalent and still activates
+# the plugin.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,7 +31,6 @@ sys.modules["zstandard"] = None  # import zstandard -> ImportError
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/ligero_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -135,6 +135,48 @@ def test_encode_rows_planar_matches_aos(rng):
     assert (aos == planar).all()
 
 
+def test_commit_body_planar_matches_aos(rng):
+    """Full planar stage-1 commit pipeline (planar encode + planar SHA
+    absorb) produces the identical sha state/pending as the AoS path."""
+    import jax.numpy as jnp
+    from ligero_prover_tpu.zkp import executor as ex
+    from ligero_prover_tpu.ops import sha256 as jsha
+
+    k, n, batch = 64, 256, 5   # odd valid_count exercises pending carry
+    w_k, _, w_n = F.generate_omegas(k, n)
+    dom_k = ntt.build_domain_tables(k, w_k)
+    dom_n = ntt.build_domain_tables(n, w_n)
+
+    rows = np.stack([ints_to_limbs(_rand_elems(rng, k))
+                     for _ in range(batch)])
+    state = jnp.broadcast_to(jnp.asarray(jsha.INIT_STATE)[:, None], (8, n))
+    pending = jnp.zeros((n, 8), jnp.uint32)
+    hp = jnp.asarray(False)
+    vc = jnp.asarray(batch, jnp.int32)
+
+    a = ex._commit_body(state, pending, hp, jnp.asarray(rows), vc,
+                        dom_k, dom_n, n, use_planar=False)
+    b = ex._commit_body(state, pending, hp, jnp.asarray(rows), vc,
+                        dom_k, dom_n, n, use_planar=True)
+    for x, y in zip(a, b):
+        assert (np.asarray(x) == np.asarray(y)).all()
+
+
+def test_decode_rows_planar_matches_aos(rng):
+    import jax.numpy as jnp
+
+    k, n, batch = 64, 256, 2
+    w_k, _, w_n = F.generate_omegas(k, n)
+    dom_k = ntt.build_domain_tables(k, w_k)
+    dom_n = ntt.build_domain_tables(n, w_n)
+    rows = np.stack([ints_to_limbs(_rand_elems(rng, k))
+                     for _ in range(batch)])
+    cws = ntt.encode_rows_cg(jnp.asarray(rows), dom_k, dom_n, n)
+    a = np.asarray(ntt.decode_rows_cg(cws, dom_k, dom_n, k))
+    b = np.asarray(ntt.decode_rows_cg_planar(cws, dom_k, dom_n, k))
+    assert (a == b).all()
+
+
 def test_encode_rows_planar_matches_golden(rng):
     """Planar encode == golden-model polynomial evaluation over the
     codeword domain (``field.golden`` contract)."""
