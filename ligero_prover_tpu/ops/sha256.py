@@ -98,10 +98,12 @@ def transform_rolled(state, block):
 
     w = jax.lax.fori_loop(16, 64, sched, w)
 
+    k_tab = jnp.asarray(K)   # numpy at module scope; constant under trace
+
     def round_fn(i, vals):
         a, b, cc, d, e, f, g, h = vals
         t1 = h + (_rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)) \
-            + ((e & f) ^ (~e & g)) + K[i] + w[i]
+            + ((e & f) ^ (~e & g)) + k_tab[i] + w[i]
         t2 = (_rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)) \
             + ((a & b) ^ (a & cc) ^ (b & cc))
         return (t1 + t2, a, b, cc, d + t1, e, f, g)

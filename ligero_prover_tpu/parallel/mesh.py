@@ -1,139 +1,117 @@
-"""Multi-chip sharding of the prover pipeline (shard_map + explicit ICI
-collectives).
+"""Multi-chip sharding of the prover (jax.sharding + GSPMD collectives).
 
-The reference is single-GPU (SURVEY §2.7); scaling out is new design.  The
-parallel axes of the Ligero prover:
+The reference is single-GPU (SURVEY §2.7); scaling out is new, TPU-native
+design.  The natural parallel axis of the Ligero prover is the
+**codeword-column axis** (n):
 
-* batch rows — independent until the transcript: RS-encoding a row batch
-  is data-parallel over rows.
-* codeword columns — per-column SHA-256 states, the test accumulators and
-  the sampled openings are elementwise over columns and never communicate.
+* per-column SHA-256 states never communicate — device d owns columns
+  [d*n/D, (d+1)*n/D) and absorbs only those;
+* the code/linear/quadratic test accumulators are elementwise over
+  columns — sharded sums, no communication;
+* only the NTT butterflies exchange elements across the axis.  In the
+  constant-geometry scan (ops/ntt.py) every stage is a fixed
+  reshape+butterfly, so GSPMD lowers the inter-shard halves/interleave
+  exchanges to collective-permutes over ICI automatically — the
+  scaling-book recipe: pick a mesh, annotate shardings, let XLA insert
+  the collectives.
 
-One committed batch flows through a single `shard_map` program over a 1-D
-device mesh ("dev"):
+:class:`ShardedExecutor` is a drop-in :class:`TpuExecutor` whose five
+jitted pipelines run under sharding constraints on a 1-D ``("cols",)``
+mesh.  Because the protocol math is exact integer arithmetic and the
+stage contexts/drivers are unchanged, the sharded prover follows the
+identical Fiat-Shamir ordering (commit -> seed1 -> checks -> seed2 ->
+openings) and produces **bit-identical proof bytes** to the single-device
+prover at the same encoding seed — asserted in tests/test_sharded.py and
+exercised by ``__graft_entry__.dryrun_multichip``.
 
-  1. each device encodes its local slice of the row batch (iNTT_k + NTT_n)
-  2. `all_to_all` reshards codewords row-sharded -> column-sharded (ICI)
-  3. local column-sharded SHA absorbs + code/linear/quadratic FMAs
-  4. sampled columns are gathered locally and `psum`-combined (each global
-     column is owned by exactly one device)
-
-The Merkle/Fiat-Shamir layer above gathers only 32-byte column digests
-(tiny; DCN-friendly for multi-host).  shard_map is used instead of
-jit+sharding constraints because the partitioner need only see local
-programs — the absorb scan's large unrolled body partitions trivially by
-construction.
+Multi-host notes: the Merkle/Fiat-Shamir layer lives on the host and
+consumes only the final (8, n) digest state — with a multi-host mesh the
+same sharded pipelines span hosts (GSPMD over ICI/DCN), every host
+derives identical seeds from the replicated root, and the per-host
+witness front-ends replay the same deterministic program.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.ntt import RSCodec, encode_rows
-from ..ops import fieldops as fo
-from ..ops import sha256 as jsha
-from ..zkp.executor import _absorb_stream, _masked_sum
+from ..zkp import executor as _ex
+from ..zkp.executor import TpuExecutor
 
 NLIMB = 8
 
 
 def make_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), ("dev",))
+    return Mesh(np.asarray(devices), ("cols",))
 
 
-class ShardedProver:
-    """Sharded stage pipeline over a 1-D mesh.
+def _constrain(mesh, x, spec):
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
-    Column-state layout: device d owns columns [d*n/D, (d+1)*n/D).
-    Host-facing arrays are global; shard_map handles the split.
+
+class ShardedExecutor(TpuExecutor):
+    """TpuExecutor with column-sharded pipelines over a 1-D mesh.
+
+    Shardings (C = n codeword columns, the sharded axis):
+      sha state (8, C): P(None, "cols");  pending (C, 8): P("cols")
+      accumulators (n, 8): P("cols");     encoded rows (B, n, 8): P(None,
+      "cols") internally;  sampled openings (B, 192, 8): replicated
+      (each column owned by one shard; GSPMD gathers).
     """
 
-    def __init__(self, k: int, n: int, mesh: Mesh | None = None):
-        self.codec = RSCodec(k, n)
-        self.k, self.n = k, n
+    def __init__(self, k: int, n: int, mesh: Mesh | None = None,
+                 batch_rows: int = 16):
+        super().__init__(k, n, batch_rows)
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.D = self.mesh.devices.size
-        assert n % self.D == 0, "codeword length must divide the mesh"
-        self._build()
+        D = self.mesh.devices.size
+        assert n % D == 0, "codeword length must divide the mesh"
+        mesh_ = self.mesh
+        st = P(None, "cols")      # (8, C)
+        col = P("cols")           # (C, ...) leading-axis sharded
+        bcol = P(None, "cols")    # (B, n, 8)
 
-    def _build(self):
-        n, D = self.n, self.D
-        mesh = self.mesh
-        n_local = n // D
+        def commit(state, pending, hp, rows, vc, dom, dom_n, n_, planar):
+            state = _constrain(mesh_, state, st)
+            pending = _constrain(mesh_, pending, col)
+            out = _ex._commit_body(state, pending, hp, rows, vc, dom,
+                                   dom_n, n_, planar)
+            return (_constrain(mesh_, out[0], st),
+                    _constrain(mesh_, out[1], col), out[2])
 
-        def step(state, pending, has_pending, rows, rands, valid_count,
-                 code_rs, tri_idx, tri_r, pair_idx, pair_r,
-                 code, linear, quad, sample_idx, dom_k, dom_n):
-            # local shapes: state (8, n/D); rows (B/D, k, 8); accs (n/D, 8)
-            e_rows = encode_rows(rows, dom_k, dom_n, n)    # (B/D, n, 8)
-            r_rows = encode_rows(rands, dom_k, dom_n, n)
-            # reshard: rows-sharded -> cols-sharded over ICI
-            e = jax.lax.all_to_all(e_rows, "dev", split_axis=1,
-                                   concat_axis=0, tiled=True)  # (B, n/D, 8)
-            r = jax.lax.all_to_all(r_rows, "dev", split_axis=1,
-                                   concat_axis=0, tiled=True)
-            state, pending, has_pending = _absorb_stream(
-                state, pending, has_pending, e, valid_count)
-            code = _masked_sum(code, fo.mulmod(e, code_rs[:, None, :]))
-            linear = _masked_sum(linear, fo.mulmod(e, r))
-            ex = jnp.take(e, tri_idx[:, 0], axis=0)
-            ey = jnp.take(e, tri_idx[:, 1], axis=0)
-            ez = jnp.take(e, tri_idx[:, 2], axis=0)
-            t = fo.submod(fo.mulmod(ex, ey), ez)
-            quad = _masked_sum(quad, fo.mulmod(t, tri_r[:, None, :]))
-            px = jnp.take(e, pair_idx[:, 0], axis=0)
-            py = jnp.take(e, pair_idx[:, 1], axis=0)
-            d = fo.submod(px, py)
-            quad = _masked_sum(quad, fo.mulmod(d, pair_r[:, None, :]))
-            # sampled openings: local gather + psum (each col owned once)
-            offset = jax.lax.axis_index("dev") * n_local
-            local_idx = sample_idx - offset
-            owned = (local_idx >= 0) & (local_idx < n_local)
-            got = jnp.take(e, jnp.clip(local_idx, 0, n_local - 1), axis=1)
-            got = jnp.where(owned[None, :, None], got, 0)
-            samples = jax.lax.psum(got, "dev")             # (B, S, 8)
-            return state, pending, has_pending, code, linear, quad, samples
+        def check(code, linear, quad, *args):
+            code = _constrain(mesh_, code, col)
+            linear = _constrain(mesh_, linear, col)
+            quad = _constrain(mesh_, quad, col)
+            out = _ex._check_body(code, linear, quad, *args)
+            return tuple(_constrain(mesh_, o, col) for o in out)
 
-        pspec_state = P(None, "dev")
-        pspec_cols = P("dev", None)
-        pspec_rows = P("dev", None, None)
-        rep = P()
-        self.step = jax.jit(jax.shard_map(
-            step, mesh=self.mesh,
-            in_specs=(pspec_state, pspec_cols, rep, pspec_rows, pspec_rows,
-                      rep, rep, rep, rep, rep, rep,
-                      pspec_cols, pspec_cols, pspec_cols,
-                      rep, rep, rep),
-            out_specs=(pspec_state, pspec_cols, rep, pspec_cols, pspec_cols,
-                       pspec_cols, rep),
-            check_vma=False))
+        def mask(code, linear, quad, *args):
+            code = _constrain(mesh_, code, col)
+            linear = _constrain(mesh_, linear, col)
+            quad = _constrain(mesh_, quad, col)
+            out = _ex._mask_body(code, linear, quad, *args)
+            return tuple(_constrain(mesh_, o, col) for o in out)
 
-    def init_state(self):
-        n = self.n
-        state = jnp.asarray(
-            np.broadcast_to(jsha.INIT_STATE[:, None], (8, n)).copy())
-        pending = jnp.zeros((n, NLIMB), jnp.uint32)
-        z = jnp.zeros((n, NLIMB), jnp.uint32)
-        return state, pending, jnp.asarray(False), (z, z, z)
+        def open_(rows, idx, dom, dom_n, n_, planar):
+            out = _ex._open_body(rows, idx, dom, dom_n, n_, planar)
+            return _constrain(mesh_, out, P())   # replicate openings
 
-    def run_batch(self, state, pending, has_pending, accs, rows, rands,
-                  valid_count, code_rs, tri_idx, tri_r, sample_idx,
-                  pair_idx=None, pair_r=None):
-        if pair_idx is None:
-            pair_idx = np.zeros((tri_idx.shape[0], 2), np.int32)
-            pair_r = np.zeros((tri_r.shape[0], NLIMB), np.uint32)
-        out = self.step(state, pending, has_pending,
-                        jnp.asarray(rows), jnp.asarray(rands),
-                        jnp.asarray(valid_count, jnp.int32),
-                        jnp.asarray(code_rs), jnp.asarray(tri_idx),
-                        jnp.asarray(tri_r), jnp.asarray(pair_idx),
-                        jnp.asarray(pair_r), *accs,
-                        jnp.asarray(sample_idx, jnp.int32),
-                        self.codec.dom_k, self.codec.dom_n)
-        return out[0], out[1], out[2], (out[3], out[4], out[5]), out[6]
+        self._commit = jax.jit(commit, static_argnums=(7, 8))
+        self._check = jax.jit(check, static_argnums=(12, 13))
+        self._mask = jax.jit(mask, static_argnums=(9, 10))
+        self._open = jax.jit(open_, static_argnums=(4, 5))
+        # The verifier works on 192 sampled columns — too small to shard
+        # profitably; it inherits the single-device pipelines.
+
+    def sha_init(self, num_cols: int):
+        state, pending, hp = super().sha_init(num_cols)
+        if num_cols % self.mesh.devices.size == 0:
+            state = jax.device_put(
+                state, NamedSharding(self.mesh, P(None, "cols")))
+            pending = jax.device_put(
+                pending, NamedSharding(self.mesh, P("cols")))
+        return state, pending, hp

@@ -59,10 +59,18 @@ def prove(program, *, geometry: RowGeometry = RowGeometry(),
           program_hash: bytes = bytes(32),
           encoding_seed: bytes | None = None,
           executor: TpuExecutor | None = None,
+          mesh=None,
           batch_rows: int = 16) -> ProveResult:
+    """`mesh`: a jax.sharding.Mesh with a "cols" axis — runs the stage
+    pipelines column-sharded across its devices (parallel/mesh.py); the
+    proof bytes are identical to the single-device prover's."""
     k, l, n = geometry.k, geometry.l, geometry.n
     if executor is None:
-        executor = TpuExecutor(k, n, batch_rows)
+        if mesh is not None:
+            from .parallel.mesh import ShardedExecutor
+            executor = ShardedExecutor(k, n, mesh, batch_rows)
+        else:
+            executor = TpuExecutor(k, n, batch_rows)
     if encoding_seed is None:
         encoding_seed = os.urandom(32)  # prover-private randomness
 

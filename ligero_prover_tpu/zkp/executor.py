@@ -77,10 +77,20 @@ def _absorb_stream_planar(state, pending, has_pending, cws, valid_count):
     total = valid_count + hp
     pairs = total // 2
     nblocks = (bsz + 1) // 2
-    for i in range(nblocks):
-        pair = jax.lax.dynamic_slice_in_dim(stream, start + 2 * i, 2, axis=1)
+
+    # lax.scan over blocks (NOT a Python loop): unrolling 16 SHA
+    # transforms inline produced ~25-50 MB serialized executables whose
+    # per-process load took ~60 s through the axon tunnel; the scanned
+    # body serializes once.  (TPU-only path — on XLA:CPU a scanned
+    # transform hits the scan-of-fori slow-compile regime, so the AoS
+    # CPU path keeps its unrolled block loop.)
+    def body(st, i):
+        pair = jax.lax.dynamic_slice_in_dim(stream, start + 2 * i, 2,
+                                            axis=1)
         block = jnp.concatenate([pair[:, 0], pair[:, 1]], axis=0)  # (16, C)
-        state = jnp.where(i < pairs, jsha.transform(state, block), state)
+        return jnp.where(i < pairs, jsha.transform(st, block), st), None
+
+    state, _ = jax.lax.scan(body, state, jnp.arange(nblocks))
     idx = jnp.clip(start + 2 * pairs, 0, bsz)
     new_pending = jax.lax.dynamic_slice_in_dim(
         stream, idx, 1, axis=1)[:, 0].T
@@ -181,6 +191,15 @@ _verify_mask_jit = jax.jit(_verify_mask_body)
 class TpuExecutor:
     """Owns the RS codec tables and drives the jitted pipelines."""
 
+    # Jitted pipeline entry points; ShardedExecutor overrides these with
+    # sharding-annotated twins (parallel/mesh.py).
+    _commit = staticmethod(_commit_jit)
+    _check = staticmethod(_check_jit)
+    _mask = staticmethod(_mask_jit)
+    _open = staticmethod(_open_jit)
+    _verify = staticmethod(_verify_jit)
+    _verify_mask = staticmethod(_verify_mask_jit)
+
     def __init__(self, k: int, n: int, batch_rows: int = 16):
         self.k, self.n = k, n
         self.codec = RSCodec(k, n)
@@ -199,7 +218,7 @@ class TpuExecutor:
     def commit_step(self, sha, rows, valid_count, *, width_2k=False):
         dom = self.codec.dom_2k if width_2k else self.codec.dom_k
         state, pending, has_pending = sha
-        return _commit_jit(state, pending, has_pending, jnp.asarray(rows),
+        return self._commit(state, pending, has_pending, jnp.asarray(rows),
                            jnp.asarray(valid_count, jnp.int32),
                            dom, self.codec.dom_n, self.n, _planar_use())
 
@@ -207,7 +226,7 @@ class TpuExecutor:
 
     def check_step(self, accs, rows, rands, code_rs, tri_idx, tri_r,
                    pair_idx, pair_r):
-        return _check_jit(*accs, jnp.asarray(rows), jnp.asarray(rands),
+        return self._check(*accs, jnp.asarray(rows), jnp.asarray(rands),
                           jnp.asarray(code_rs), jnp.asarray(tri_idx),
                           jnp.asarray(tri_r), jnp.asarray(pair_idx),
                           jnp.asarray(pair_r),
@@ -215,7 +234,7 @@ class TpuExecutor:
                           _planar_use())
 
     def mask_step(self, accs, code_row, linear_row, quad_row):
-        return _mask_jit(*accs, jnp.asarray(code_row),
+        return self._mask(*accs, jnp.asarray(code_row),
                          jnp.asarray(linear_row), jnp.asarray(quad_row),
                          self.codec.dom_k, self.codec.dom_2k,
                          self.codec.dom_n, self.n, _planar_use())
@@ -224,7 +243,7 @@ class TpuExecutor:
 
     def open_step(self, rows, sample_idx, *, width_2k=False):
         dom = self.codec.dom_2k if width_2k else self.codec.dom_k
-        return _open_jit(jnp.asarray(rows),
+        return self._open(jnp.asarray(rows),
                          jnp.asarray(sample_idx, jnp.int32),
                          dom, self.codec.dom_n, self.n, _planar_use())
 
@@ -233,7 +252,7 @@ class TpuExecutor:
     def verify_step(self, sha, accs, samples, rands, code_rs, tri_idx, tri_r,
                     pair_idx, pair_r, sample_idx, valid_count):
         state, pending, has_pending = sha
-        out = _verify_jit(state, pending, has_pending, *accs,
+        out = self._verify(state, pending, has_pending, *accs,
                           jnp.asarray(samples), jnp.asarray(rands),
                           jnp.asarray(code_rs), jnp.asarray(tri_idx),
                           jnp.asarray(tri_r), jnp.asarray(pair_idx),
@@ -246,7 +265,7 @@ class TpuExecutor:
 
     def verify_mask_step(self, sha, accs, mask_samples):
         state, pending, has_pending = sha
-        out = _verify_mask_jit(state, pending, has_pending, *accs,
+        out = self._verify_mask(state, pending, has_pending, *accs,
                                jnp.asarray(mask_samples))
         return (out[0], out[1], out[2]), (out[3], out[4], out[5])
 

@@ -1,17 +1,20 @@
 import os
 
 # Force CPU with a virtual 8-device mesh for sharding tests; the real TPU
-# is exercised only by bench.py.
+# is exercised only by bench.py and the CLI.
 #
-# CRITICAL: this must happen via the env var BEFORE jax is imported.  The
-# axon harness exports JAX_PLATFORMS=axon + PALLAS_AXON_REMOTE_COMPILE=1;
-# if the axon plugin activates, even "CPU" executables are compiled on a
-# REMOTE machine with different CPU features (cpu_aot_loader then warns
-# "could lead to SIGILL" when loading them back — the source of the
-# historic combined-suite segfaults), cache loads stall for minutes, and
-# process teardown can hang in native code.  Selecting cpu via
-# jax.config.update() after import is NOT equivalent and still activates
-# the plugin.
+# The axon harness's sitecustomize calls
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start,
+# which OVERRIDES the JAX_PLATFORMS env var — so the env var alone does
+# NOT keep tests off the tunneled TPU (measured: jax.devices() still
+# returns the TPU).  We set the env var for defense in depth AND re-set
+# the config after importing jax, before any backend initializes; only
+# then does the suite run hermetically on local CPU with 8 virtual
+# devices (keeping the tunnel, its ~25 s/executable load latency, and
+# its remote-compiled executables out of CI entirely — remote-compiled
+# XLA:CPU code from earlier rounds carried mismatched ISA features,
+# "could lead to SIGILL", the likely source of the historic
+# combined-suite segfaults).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -31,9 +34,14 @@ sys.modules["zstandard"] = None  # import zstandard -> ImportError
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/ligero_jax_cache")
+jax.config.update("jax_platforms", "cpu")  # undo sitecustomize's axon,cpu
+jax.config.update("jax_compilation_cache_dir", "/tmp/ligero_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on local CPU; axon plugin leaked through")
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture
