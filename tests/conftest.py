@@ -1,4 +1,5 @@
 import os
+import sys
 
 # Force CPU with a virtual 8-device mesh for sharding tests; the real TPU
 # is exercised only by bench.py and the CLI.
@@ -22,7 +23,6 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import random  # noqa: E402
-import sys  # noqa: E402
 
 # The combined suite segfaulted (rounds 2-3) inside the persistent-cache
 # write path: compilation_cache.put_executable_and_time -> the `zstandard`
@@ -34,7 +34,19 @@ sys.modules["zstandard"] = None  # import zstandard -> ImportError
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")  # undo sitecustomize's axon,cpu
+# The axon sitecustomize registers its PJRT plugin (with remote compile)
+# in every python process.  Once ANY backend initializes with the plugin
+# registered, even XLA:CPU executables are compiled on the remote
+# terminal and come back with mismatched ISA features ("could lead to
+# SIGILL" — the historic combined-suite segfaults), poisoning the
+# persistent cache.  Deregister the factory BEFORE any backend
+# initializes (conftest imports run before any test touches jax), then
+# undo sitecustomize's jax_platforms="axon,cpu" config override.
+from jax._src import xla_bridge  # noqa: E402
+assert not xla_bridge.backends_are_initialized(), (
+    "a backend initialized before conftest could deregister axon")
+xla_bridge._backend_factories.pop("axon", None)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/ligero_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
