@@ -108,6 +108,9 @@ def cmd_prove(jstr: str, proof_file: str = "proof_data.gz") -> int:
     with open(proof_file, "wb") as f:
         f.write(res.proof)
 
+    print(f"Number of linear constraints:  {res.num_linear}")
+    print(f"Number of quadratic gates:     {res.num_quadratic}")
+    print(f"Number of committed rows:      {res.num_rows}")
     print(f"Prover root: {res.root.hex()}")
     print(f"Validation of encoding:              {res.valid_code}")
     print(f"Validation of linear constraints:    {res.valid_linear}")

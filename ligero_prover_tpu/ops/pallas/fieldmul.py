@@ -253,6 +253,10 @@ def _k_addmod(x_ref, y_ref, o_ref):
     _write(o_ref, _addmod_t(_read(x_ref), _read(y_ref)))
 
 
+def _k_submod(x_ref, y_ref, o_ref):
+    _write(o_ref, _submod_t(_read(x_ref), _read(y_ref)))
+
+
 def _k_mont_mul(x_ref, y_ref, o_ref):
     _write(o_ref, _mont_mul_t(_read(x_ref), _split16(_read(y_ref))))
 
@@ -356,6 +360,10 @@ def butterfly_dif(a, b, w):
 
 def addmod_planar(x, y):
     return _run("addmod", 1, x, y).reshape(x.shape)
+
+
+def submod_planar(x, y):
+    return _run("submod", 1, x, y).reshape(x.shape)
 
 
 def mont_mul_planar(x, y):

@@ -41,6 +41,9 @@ class ProveResult:
     valid_linear: bool
     valid_quad: bool
     num_rows: int = 0
+    # constraint/gate counts at finalize (``witness_manager.hpp:504-507``)
+    num_linear: int = 0
+    num_quadratic: int = 0
 
     @property
     def ok(self) -> bool:
@@ -80,6 +83,8 @@ def prove(program, *, geometry: RowGeometry = RowGeometry(),
         ctx1.init_encoding_random(encoding_seed, IV_ANY)
         program(ctx1)
         ctx1.finalize()
+        m1 = ctx1.backend.manager
+        num_linear, num_quadratic = m1.linear_counter, m1.quadratic_counter
         tree = MerkleTree(ctx1.flush_digests())
         root = tree.root
     seed1 = transcript.stage1_seed(root, instance_hash)
@@ -120,4 +125,5 @@ def prove(program, *, geometry: RowGeometry = RowGeometry(),
     valid_quad = all(v == 0 for v in decoded_quad[:l])
 
     return ProveResult(proof, root, valid_code, valid_linear, valid_quad,
-                       num_rows=len(ctx3.host_samplings))
+                       num_rows=len(ctx3.host_samplings),
+                       num_linear=num_linear, num_quadratic=num_quadratic)

@@ -162,6 +162,37 @@ def test_commit_body_planar_matches_aos(rng):
         assert (np.asarray(x) == np.asarray(y)).all()
 
 
+def test_check_body_planar_matches_aos(rng):
+    """Planar stage-2 pipeline (FMA-kernel accumulators) == AoS path."""
+    import jax.numpy as jnp
+    from ligero_prover_tpu.zkp import executor as ex
+
+    k, n, batch = 64, 256, 4
+    w_k, _, w_n = F.generate_omegas(k, n)
+    dom_k = ntt.build_domain_tables(k, w_k)
+    dom_n = ntt.build_domain_tables(n, w_n)
+
+    rows = np.stack([ints_to_limbs(_rand_elems(rng, k))
+                     for _ in range(batch)])
+    rands = np.stack([ints_to_limbs(_rand_elems(rng, k))
+                      for _ in range(batch)])
+    code_rs = ints_to_limbs(_rand_elems(rng, batch))
+    tri_idx = np.array([[0, 1, 2], [1, 2, 3]], np.int32)
+    tri_r = ints_to_limbs(_rand_elems(rng, 2))
+    pair_idx = np.array([[0, 3]], np.int32)
+    pair_r = ints_to_limbs(_rand_elems(rng, 1))
+    z = jnp.asarray(np.stack([ints_to_limbs(_rand_elems(rng, n))
+                              for _ in range(3)]))
+
+    args = (z[0], z[1], z[2], jnp.asarray(rows), jnp.asarray(rands),
+            jnp.asarray(code_rs), jnp.asarray(tri_idx), jnp.asarray(tri_r),
+            jnp.asarray(pair_idx), jnp.asarray(pair_r), dom_k, dom_n, n)
+    a = ex._check_body(*args, use_planar=False)
+    b = ex._check_body(*args, use_planar=True)
+    for x, y in zip(a, b):
+        assert (np.asarray(x) == np.asarray(y)).all()
+
+
 def test_decode_rows_planar_matches_aos(rng):
     import jax.numpy as jnp
 
