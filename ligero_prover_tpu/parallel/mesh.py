@@ -64,7 +64,7 @@ class ShardedExecutor(TpuExecutor):
     """
 
     def __init__(self, k: int, n: int, mesh: Mesh | None = None,
-                 batch_rows: int = 16):
+                 batch_rows: int = 32):
         super().__init__(k, n, batch_rows)
         self.mesh = mesh if mesh is not None else make_mesh()
         D = self.mesh.devices.size

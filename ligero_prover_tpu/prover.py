@@ -63,7 +63,7 @@ def prove(program, *, geometry: RowGeometry = RowGeometry(),
           encoding_seed: bytes | None = None,
           executor: TpuExecutor | None = None,
           mesh=None,
-          batch_rows: int = 16) -> ProveResult:
+          batch_rows: int = 32) -> ProveResult:
     """`mesh`: a jax.sharding.Mesh with a "cols" axis — runs the stage
     pipelines column-sharded across its devices (parallel/mesh.py); the
     proof bytes are identical to the single-device prover's."""
