@@ -179,6 +179,14 @@ def _planar_use() -> bool:
 
 
 USE_PLANAR: bool | None = None   # None = auto (Pallas on TPU)
+USE_MXU: bool | None = None      # None = auto (int8-matmul NTT on TPU)
+
+
+def _mxu_use() -> bool:
+    import jax
+    if USE_MXU is not None:
+        return USE_MXU
+    return jax.default_backend() != "cpu"
 
 
 def _tw_planar(tw_pl, b_, g, h):
@@ -467,11 +475,23 @@ class RSCodec:
         import jax
         w_k, w_2k, w_n = F.generate_omegas(k, n)
         self.k, self.n = k, n
+        self._omegas = (w_k, w_2k, w_n)
         self.dom_k = build_domain_tables(k, w_k)
         self.dom_2k = build_domain_tables(2 * k, w_2k)
         self.dom_n = build_domain_tables(n, w_n)
         self._encode = jax.jit(encode_rows, static_argnums=(3, 4))
         self._decode = jax.jit(decode_rows, static_argnums=(3, 4))
+        self._mxu_tabs = None
+
+    @property
+    def mxu_tabs(self):
+        """int8-matmul NTT tables for the k->n encode, built lazily (they
+        are ~150 MB device-resident and take ~10 s of host precompute)."""
+        if self._mxu_tabs is None:
+            from .mxu_ntt import build_codec_tables
+            self._mxu_tabs = build_codec_tables(
+                self.k, self.n, self._omegas[0], self._omegas[2])
+        return self._mxu_tabs
 
     def encode(self, rows):
         return self._encode(rows, self.dom_k, self.dom_n, self.n,

@@ -63,6 +63,9 @@ class ShardedExecutor(TpuExecutor):
       (each column owned by one shard; GSPMD gathers).
     """
 
+    # keep the step methods from requesting (and building) MXU tables
+    _use_mxu = staticmethod(lambda: False)
+
     def __init__(self, k: int, n: int, mesh: Mesh | None = None,
                  batch_rows: int = 32):
         super().__init__(k, n, batch_rows)
@@ -74,7 +77,12 @@ class ShardedExecutor(TpuExecutor):
         col = P("cols")           # (C, ...) leading-axis sharded
         bcol = P(None, "cols")    # (B, n, 8)
 
-        def commit(state, pending, hp, rows, vc, dom, dom_n, n_, planar):
+        # The sharded pipelines keep the VPU (constant-geometry) NTT: its
+        # stagewise reshapes shard cleanly over the column axis, whereas
+        # the int8-matmul NTT's level matmuls would need a bespoke
+        # sharding design (contraction dim is digits x rows, not columns).
+        def commit(state, pending, hp, rows, vc, dom, dom_n, n_, planar,
+                   mxu_tabs=None, use_mxu=False):
             state = _constrain(mesh_, state, st)
             pending = _constrain(mesh_, pending, col)
             out = _ex._commit_body(state, pending, hp, rows, vc, dom,
@@ -82,11 +90,15 @@ class ShardedExecutor(TpuExecutor):
             return (_constrain(mesh_, out[0], st),
                     _constrain(mesh_, out[1], col), out[2])
 
-        def check(code, linear, quad, *args):
+        def check(code, linear, quad, rows, rands, code_rs, tri_idx,
+                  tri_r, pair_idx, pair_r, dom_k, dom_n, n_, planar,
+                  mxu_tabs=None, use_mxu=False):
             code = _constrain(mesh_, code, col)
             linear = _constrain(mesh_, linear, col)
             quad = _constrain(mesh_, quad, col)
-            out = _ex._check_body(code, linear, quad, *args)
+            out = _ex._check_body(code, linear, quad, rows, rands,
+                                  code_rs, tri_idx, tri_r, pair_idx,
+                                  pair_r, dom_k, dom_n, n_, planar)
             return tuple(_constrain(mesh_, o, col) for o in out)
 
         def mask(code, linear, quad, *args):
@@ -96,14 +108,15 @@ class ShardedExecutor(TpuExecutor):
             out = _ex._mask_body(code, linear, quad, *args)
             return tuple(_constrain(mesh_, o, col) for o in out)
 
-        def open_(rows, idx, dom, dom_n, n_, planar):
+        def open_(rows, idx, dom, dom_n, n_, planar, mxu_tabs=None,
+                  use_mxu=False):
             out = _ex._open_body(rows, idx, dom, dom_n, n_, planar)
             return _constrain(mesh_, out, P())   # replicate openings
 
-        self._commit = jax.jit(commit, static_argnums=(7, 8))
-        self._check = jax.jit(check, static_argnums=(12, 13))
+        self._commit = jax.jit(commit, static_argnums=(7, 8, 10))
+        self._check = jax.jit(check, static_argnums=(12, 13, 15))
         self._mask = jax.jit(mask, static_argnums=(9, 10))
-        self._open = jax.jit(open_, static_argnums=(4, 5))
+        self._open = jax.jit(open_, static_argnums=(4, 5, 7))
         # The verifier works on 192 sampled columns — too small to shard
         # profitably; it inherits the single-device pipelines.
 

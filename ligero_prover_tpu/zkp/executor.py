@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from ..field.limbs import ints_to_limbs
 from ..ops import sha256 as jsha
 from ..ops import fieldops as fo
-from ..ops.ntt import RSCodec, encode_rows, decode_rows, _planar_use
+from ..ops.ntt import RSCodec, encode_rows, decode_rows, _planar_use, \
+    _mxu_use
 
 NLIMB = 8
 
@@ -107,7 +108,16 @@ def _masked_sum(acc, terms):
 # ---- jitted pipeline bodies (module-level; tables passed in) -------------
 
 def _commit_body(state, pending, has_pending, rows, valid_count,
-                 dom_msg, dom_n, n, use_planar=False):
+                 dom_msg, dom_n, n, use_planar=False, mxu_tabs=None,
+                 use_mxu=False):
+    if use_mxu:
+        from ..ops.mxu_ntt import encode_rows_mxu_core
+        cws_p = encode_rows_mxu_core(rows, mxu_tabs, n, use_planar)
+        if use_planar:
+            return _absorb_stream_planar(state, pending, has_pending,
+                                         cws_p, valid_count)
+        return _absorb_stream(state, pending, has_pending,
+                              jnp.moveaxis(cws_p, 0, -1), valid_count)
     if use_planar:
         from ..ops.ntt import encode_rows_cg_planar_core
         cws = encode_rows_cg_planar_core(rows, dom_msg, dom_n, n)
@@ -155,13 +165,19 @@ def _fma_scan_planar(acc, xs, ys):
 
 
 def _check_body_planar(code, linear, quad, rows, rands, code_rs, tri_idx,
-                       tri_r, pair_idx, pair_r, dom_k, dom_n, n):
+                       tri_r, pair_idx, pair_r, dom_k, dom_n, n,
+                       mxu_tabs=None, use_mxu=False):
     """Planar stage-2 pipeline: data stays limb-major end-to-end — no
     AoS<->planar transposes around each field op (VERDICT r3 weak #3)."""
     from ..ops.ntt import encode_rows_cg_planar_core
     from ..ops.pallas import fieldmul as fm
-    e = encode_rows_cg_planar_core(rows, dom_k, dom_n, n)    # (8, B, n)
-    r = encode_rows_cg_planar_core(rands, dom_k, dom_n, n)
+    if use_mxu:
+        from ..ops.mxu_ntt import encode_rows_mxu_core
+        e = encode_rows_mxu_core(rows, mxu_tabs, n, True)    # (8, B, n)
+        r = encode_rows_mxu_core(rands, mxu_tabs, n, True)
+    else:
+        e = encode_rows_cg_planar_core(rows, dom_k, dom_n, n)
+        r = encode_rows_cg_planar_core(rands, dom_k, dom_n, n)
     eb = jnp.moveaxis(e, 1, 0)                               # (B, 8, n)
     rb = jnp.moveaxis(r, 1, 0)
     code_p = jnp.moveaxis(code, -1, 0)                       # (8, n)
@@ -206,13 +222,19 @@ def _check_body_planar(code, linear, quad, rows, rands, code_rs, tri_idx,
 
 
 def _check_body(code, linear, quad, rows, rands, code_rs, tri_idx, tri_r,
-                pair_idx, pair_r, dom_k, dom_n, n, use_planar=False):
+                pair_idx, pair_r, dom_k, dom_n, n, use_planar=False,
+                mxu_tabs=None, use_mxu=False):
     if use_planar:
         return _check_body_planar(code, linear, quad, rows, rands, code_rs,
                                   tri_idx, tri_r, pair_idx, pair_r,
-                                  dom_k, dom_n, n)
-    e = encode_rows(rows, dom_k, dom_n, n, use_planar)
-    r = encode_rows(rands, dom_k, dom_n, n, use_planar)
+                                  dom_k, dom_n, n, mxu_tabs, use_mxu)
+    if use_mxu:
+        from ..ops.mxu_ntt import encode_rows_mxu
+        e = encode_rows_mxu(rows, mxu_tabs, n, False)
+        r = encode_rows_mxu(rands, mxu_tabs, n, False)
+    else:
+        e = encode_rows(rows, dom_k, dom_n, n, use_planar)
+        r = encode_rows(rands, dom_k, dom_n, n, use_planar)
     code = _masked_sum(code, fo.mulmod(e, code_rs[:, None, :]))
     linear = _masked_sum(linear, fo.mulmod(e, r))
     quad = _quad_contrib(quad, e, tri_idx, tri_r, pair_idx, pair_r)
@@ -230,8 +252,13 @@ def _mask_body(code, linear, quad, cr, lr, qr, dom_k, dom_2k, dom_n, n,
     return code, linear, quad
 
 
-def _open_body(rows, idx, dom_msg, dom_n, n, use_planar=False):
-    cws = encode_rows(rows, dom_msg, dom_n, n, use_planar)
+def _open_body(rows, idx, dom_msg, dom_n, n, use_planar=False,
+               mxu_tabs=None, use_mxu=False):
+    if use_mxu:
+        from ..ops.mxu_ntt import encode_rows_mxu
+        cws = encode_rows_mxu(rows, mxu_tabs, n, use_planar)
+    else:
+        cws = encode_rows(rows, dom_msg, dom_n, n, use_planar)
     return jnp.take(cws, idx, axis=1)
 
 
@@ -257,10 +284,10 @@ def _verify_mask_body(state, pending, has_pending, code, linear, quad, ms):
     return state, pending, has_pending, code, linear, quad
 
 
-_commit_jit = jax.jit(_commit_body, static_argnums=(7, 8))
-_check_jit = jax.jit(_check_body, static_argnums=(12, 13))
+_commit_jit = jax.jit(_commit_body, static_argnums=(7, 8, 10))
+_check_jit = jax.jit(_check_body, static_argnums=(12, 13, 15))
 _mask_jit = jax.jit(_mask_body, static_argnums=(9, 10))
-_open_jit = jax.jit(_open_body, static_argnums=(4, 5))
+_open_jit = jax.jit(_open_body, static_argnums=(4, 5, 7))
 _verify_jit = jax.jit(_verify_body, static_argnums=(17, 18))
 _verify_mask_jit = jax.jit(_verify_mask_body)
 
@@ -292,23 +319,34 @@ class TpuExecutor:
 
     # ---- stage 1: commit -------------------------------------------------
 
+    # The MXU (int8-matmul) NTT serves the k-width hot path; 2k mask rows
+    # (once per proof) and decode (3 codewords per proof) stay on the VPU
+    # path, avoiding a second 150 MB table set for a cold geometry.
+    _use_mxu = staticmethod(_mxu_use)
+
     def commit_step(self, sha, rows, valid_count, *, width_2k=False):
         dom = self.codec.dom_2k if width_2k else self.codec.dom_k
         state, pending, has_pending = sha
+        use_mxu = self._use_mxu() and not width_2k
         return self._commit(state, pending, has_pending, jnp.asarray(rows),
                            jnp.asarray(valid_count, jnp.int32),
-                           dom, self.codec.dom_n, self.n, _planar_use())
+                           dom, self.codec.dom_n, self.n, _planar_use(),
+                           self.codec.mxu_tabs if use_mxu else None,
+                           use_mxu)
 
     # ---- stage 2: checks -------------------------------------------------
 
     def check_step(self, accs, rows, rands, code_rs, tri_idx, tri_r,
                    pair_idx, pair_r):
+        use_mxu = self._use_mxu()
         return self._check(*accs, jnp.asarray(rows), jnp.asarray(rands),
                           jnp.asarray(code_rs), jnp.asarray(tri_idx),
                           jnp.asarray(tri_r), jnp.asarray(pair_idx),
                           jnp.asarray(pair_r),
                           self.codec.dom_k, self.codec.dom_n, self.n,
-                          _planar_use())
+                          _planar_use(),
+                          self.codec.mxu_tabs if use_mxu else None,
+                          use_mxu)
 
     def mask_step(self, accs, code_row, linear_row, quad_row):
         return self._mask(*accs, jnp.asarray(code_row),
@@ -320,9 +358,12 @@ class TpuExecutor:
 
     def open_step(self, rows, sample_idx, *, width_2k=False):
         dom = self.codec.dom_2k if width_2k else self.codec.dom_k
+        use_mxu = self._use_mxu() and not width_2k
         return self._open(jnp.asarray(rows),
                          jnp.asarray(sample_idx, jnp.int32),
-                         dom, self.codec.dom_n, self.n, _planar_use())
+                         dom, self.codec.dom_n, self.n, _planar_use(),
+                         self.codec.mxu_tabs if use_mxu else None,
+                         use_mxu)
 
     # ---- verifier --------------------------------------------------------
 
