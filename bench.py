@@ -6,26 +6,29 @@ NTT(n=32768) over BN254-Fr, and a 32-byte absorb into all n per-column
 SHA-256 states (reference work definition: ``engine.cpp:755-771`` +
 ``nonbatch_context.hpp:445-451``).
 
+Engine: the MXU int8-matmul NTT (``ops/mxu_ntt.py``) — three exact
+digit matmuls per encode (15.0 G MACs/row) plus Pallas REDC/twiddle
+renormalization and the SHA absorb on the VPU.
+
 `vs_baseline` grades against a documented estimate of the reference
 prover's per-row rate on a desktop-class GPU (~35 WebGPU dispatches per
-row at ~30-100us each => ~300 rows/s; the reference publishes no numbers,
-see BASELINE.md).
+row at ~30-100us each => ~300 rows/s; the reference publishes no
+numbers, see BASELINE.md).
 
-The headline times DEVICE-RESIDENT batches (rows pre-transferred).  In
+Roofline (all rates measured on this chip, bench/micro_*.py):
+* MXU int8: 395 Tops measured at the level-matmul shapes -> the 15.0
+  G MACs/row cost 76 us/row at peak.
+* VPU: ~2.5 T u32-ops/s effective (the Montgomery kernel's measured
+  rate; raw u32 multiply is ~0.1 Tops — the 0.96 Tops "peak" used
+  before round 5 was wrong by ~10x).  The irreducible per-row VPU work
+  (REDC+twiddle renorms ~310 M ops, SHA absorb ~47 M ops) bounds
+  commit at ~143 us/row ≈ 7.0 k rows/s; `vpu_bound_util_pct` reports
+  achieved/bound.
+
+The headline times DEVICE-RESIDENT batches (rows pre-transferred); in
 this dev environment the chip sits behind the axon tunnel whose
-host->device path measures ~39 MB/s — a ~300x slowdown vs a co-located
-TPU host's PCIe/DMA, and an artifact of the tunnel, not the chip or the
-kernels.  `detail.commit_rows_per_s_h2d` reports the tunnel-limited
-end-to-end rate and `detail.h2d_MBps` the measured transfer bandwidth so
-the gap is explicit.  The `detail` object also carries a measured
-roofline:
-
-* mult_per_row: u32 16x16-digit multiplies per row in the Montgomery
-  digit convolution: 26 butterfly stages x (n_stage/2) mont_muls, each
-  ~648 u32 mults (256 xy + 136 uJ + 256 mp), + SHA-256 absorb work.
-* vpu_mult_peak: ~0.96e12 u32 mult/s (8x128 lanes x 940 MHz, 1 mult per
-  lane-cycle) on TPU v5e — utilization = achieved mults / peak.
-* hbm model: planar stage traffic ~ 2 passes x 32 B/elem per stage.
+host->device path measures ~40 MB/s (an artifact of the tunnel —
+`detail.h2d_MBps` keeps it visible).
 
 Prints exactly ONE JSON line on stdout.
 """
@@ -40,26 +43,17 @@ REFERENCE_ROWS_PER_S_EST = 300.0
 K, N = 8192, 32768
 WARMUP, ITERS = 2, 10
 
-# --- roofline model constants (TPU v5e) ---
-VPU_MULT_PEAK = 0.96e12     # u32 mult/s: 1024 lanes x 940 MHz
-HBM_GBPS = 819e9            # bytes/s
+MXU_TOPS_MEAS = 395e12          # bench/micro_mxu.py on this chip
+VPU_OPS_MEAS = 2.5e12           # mont kernel effective rate, micro_mont.py
 
-MULTS_PER_MONT = 648        # 256 (x*y) + 136 (u_lo*J, const) + 256 (m*p)
-
-
-def mults_per_row(k: int, n: int) -> float:
-    stages_k = k.bit_length() - 1
-    stages_n = n.bit_length() - 1 - 2          # first log2(n/k) skipped
-    butterflies = stages_k * (k // 2) + stages_n * (n // 2)
-    scale = k                                   # n_inv mont-mul per element
-    return (butterflies + scale) * MULTS_PER_MONT
-
-
-def hbm_bytes_per_row(k: int, n: int) -> float:
-    stages_k = k.bit_length() - 1
-    stages_n = n.bit_length() - 1 - 2
-    # each stage: read + write 32 B/element (twiddles amortized over batch)
-    return stages_k * k * 64 + stages_n * n * 64
+# per-row work model for the MXU engine (see ops/mxu_ntt.py):
+#   mm1  (64*128 x 32*128) @ (.., 64)  = 2.1 G MACs
+#   wm   (64*256 x 32*64)  @ (.., 128) = 4.3 G
+#   w4   (64*128 x 32*128) @ (.., 256) = 8.6 G
+MACS_PER_ROW = 15.0e9
+# VPU: renorm_mid(k) 5500*8192 + renorm_mid(n) 5500*32768 +
+#      renorm_final(n) 2600*32768 + SHA absorb ~1440*32768
+VPU_OPS_PER_ROW = 357e6
 
 
 def bench(fn, ready, iters=ITERS, warmup=WARMUP):
@@ -95,11 +89,11 @@ def main():
     from ligero_prover_tpu.zkp.executor import TpuExecutor
 
     rng = np.random.default_rng(0)
-    detail = {}
+    detail = {"engine": "mxu-int8-matmul"}
 
     best_rows_per_s = 0.0
     best_batch = None
-    for batch in (8, 32):
+    for batch in (16, 32):
         ex = TpuExecutor(K, N, batch_rows=batch)
         rows_np = rng.integers(0, 2**32, (batch, K, 8)).astype(np.uint32)
         rows_np[..., 7] &= 0x0FFFFFFF  # keep values < p
@@ -128,9 +122,10 @@ def main():
     # component split at the best batch size
     ex, batch = best_ex, best_batch
     rows = jnp.asarray(best_rows_np)
-    rows_j = rows
-    enc = jax.jit(lambda r: ex.codec.encode(r))
-    dt_enc = bench(lambda: enc(rows_j),
+    from ligero_prover_tpu.ops.mxu_ntt import encode_rows_mxu_core
+    enc = jax.jit(encode_rows_mxu_core, static_argnums=(2, 3))
+    tabs = ex.codec.mxu_tabs
+    dt_enc = bench(lambda: enc(rows, tabs, N, True),
                    lambda o: np.asarray(o[:1, :1, :1]))
     detail["encode_rows_per_s"] = round(batch / dt_enc, 1)
 
@@ -154,13 +149,19 @@ def main():
                 lambda o: np.asarray(o[:1, :1, :1]))
     detail["open_rows_per_s"] = round(batch / dt3, 1)
 
+    # full prover device throughput: rows/s through all three stages
+    full = 1.0 / (1.0 / best_rows_per_s +
+                  dt2 / batch + dt3 / batch)
+    detail["prover_3stage_rows_per_s"] = round(full, 1)
+
     # roofline
-    mpr = mults_per_row(K, N)
-    detail["mult_per_row_M"] = round(mpr / 1e6, 1)
-    detail["vpu_mult_util_pct"] = round(
-        100.0 * best_rows_per_s * mpr / VPU_MULT_PEAK, 1)
-    detail["hbm_util_pct"] = round(
-        100.0 * best_rows_per_s * hbm_bytes_per_row(K, N) / HBM_GBPS, 1)
+    detail["mxu_macs_per_row_G"] = round(MACS_PER_ROW / 1e9, 1)
+    detail["mxu_util_pct"] = round(
+        100.0 * best_rows_per_s * 2 * MACS_PER_ROW / MXU_TOPS_MEAS, 1)
+    vpu_bound = VPU_OPS_MEAS / VPU_OPS_PER_ROW
+    detail["vpu_bound_rows_per_s"] = round(vpu_bound, 1)
+    detail["vpu_bound_util_pct"] = round(
+        100.0 * best_rows_per_s / vpu_bound, 1)
     detail["best_batch"] = best_batch
 
     print(json.dumps({

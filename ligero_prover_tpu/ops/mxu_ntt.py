@@ -152,26 +152,46 @@ def build_codec_tables(w: int, n: int, root_w: int, root_n: int) -> dict:
     """Tables for encode: iNTT_w (four-step, 1/w folded into level 2)
     followed by NTT_n with zero-extension ratio n//w.  All matmul tables
     carry an extra factor R = 2^256 mod p, cancelled by the REDC in the
-    renorm kernels."""
+    renorm kernels.
+
+    The middle two levels — iNTT's level 2 (contract c1) and NTT_n's
+    level 1 (contract r, sliced to r < R2/ratio by zero-extension) — are
+    adjacent linear maps joined by the pure index remap
+    j = r*C2 + c2 = (r*g + c2//R1)*R1 + (c2 % R1) with g = C2/R1, so
+    they precompose on the host into the single "wm" matrix
+    WM[h][s2, c1] = sum_r W_n[s2, r] * W_inv[r*g + h, c1], stacked over
+    h in [0, g).  This removes one matmul, one renormalization pass and
+    one digit repack per encode."""
     r1, c1 = _split_rc(w)
     r2, c2 = _split_rc(n)
     ratio = n // w
+    g = c2 // r1
+    assert g >= 1 and c2 % r1 == 0
     w_inv = pow(root_w, F.MODULUS - 2, F.MODULUS)
     inv_w = pow(w, F.MODULUS - 2, F.MODULUS)
     rmod = F.R % F.MODULUS
+
+    # true (unscaled) middle matrices
+    w2t = _dft_matrix(w_inv, r1, c1, c1, scale=inv_w)      # (q1, c1)
+    w3t = _dft_matrix(root_n, c2, r2, r2)[:, :r2 // ratio]  # (s2, r)
+    wm = np.empty((g, r2, c1), object)
+    for h in range(g):
+        for s2 in range(r2):
+            for c in range(c1):
+                acc = 0
+                for r in range(r2 // ratio):
+                    acc += int(w3t[s2, r]) * int(w2t[r * g + h, c])
+                wm[h, s2, c] = acc * rmod % F.MODULUS
 
     tabs = {
         # iNTT_w level 1: contract r over R1, W[s,r] = R * w^-(C1*r*s)
         "w1": _toeplitz_digits(_dft_matrix(w_inv, c1, r1, r1, scale=rmod)),
         "tw1": _twiddle_mont_planar(w_inv, r1, c1),
-        # level 2: contract c over C1, W[q,c] = R * w^-(R1*q*c) / w
-        "w2": _toeplitz_digits(_dft_matrix(
-            w_inv, r1, c1, c1, scale=rmod * inv_w % F.MODULUS)),
-        # NTT_n level 1: contract r over R2//ratio (zero-extension slice)
-        "w3": _toeplitz_digits(
-            _dft_matrix(root_n, c2, r2, r2,
-                        scale=rmod)[:, :r2 // ratio].copy()),
+        # merged middle: contract c1; M-axis stacked over h
+        "wm": np.concatenate(
+            [_toeplitz_digits(wm[h]) for h in range(g)], axis=0),
         "tw3": _twiddle_mont_planar(root_n, r2, c2),
+        # NTT_n level 2: contract c2
         "w4": _toeplitz_digits(_dft_matrix(root_n, r2, c2, c2, scale=rmod)),
     }
     # Device-resident once: these are 10-170 MB; as plain numpy jit
@@ -207,48 +227,50 @@ def _level_matmul(w_toep, x_digits):
     return out.reshape(SLOTS, s_dim, x_digits.shape[-1])
 
 
-def _four_step(x_packed, w1, tw1, w2, r, c, use_pallas: bool,
-               r_nonzero: int | None = None, out_packed: bool = False):
-    """One four-step transform over packed-digit input.
-
-    x_packed: (8, B, rr*C) u32 packed digits, element index i = r*C + c
-    (rr = r_nonzero rows when the tail is known-zero).  Returns
-    (8, B, size): canonical limbs, or packed digits if `out_packed`."""
-    from .pallas import mxu_renorm as mr
-    b = x_packed.shape[1]
-    rr = r_nonzero if r_nonzero is not None else r
-    xp = jnp.moveaxis(x_packed.reshape(NLIMB, b, rr, c), 1, 2)
-    xd = _unpack_digits(xp)                             # (32, rr, B, C)
-    s1 = _level_matmul(jnp.asarray(w1), xd.reshape(DX * rr, b * c))
-    twb = jnp.broadcast_to(jnp.asarray(tw1),
-                           (NLIMB, r, b, c)).reshape(NLIMB, -1)
-    mid_fn = mr.renorm_mid if use_pallas else mr.renorm_mid_xla
-    mid = mid_fn(s1.reshape(SLOTS, -1), twb)            # packed (8, r*b*c)
-    midp = mid.reshape(NLIMB, r, b, c).transpose(0, 3, 2, 1)
-    xd2 = _unpack_digits(midp)                          # (32, C, B, R)
-    s2 = _level_matmul(jnp.asarray(w2), xd2.reshape(DX * c, b * r))
-    if out_packed:
-        fin_fn = mr.renorm_pack if use_pallas else mr.renorm_pack_xla
-    else:
-        fin_fn = mr.renorm_final if use_pallas else mr.renorm_final_xla
-    v2 = fin_fn(s2.reshape(SLOTS, -1)).reshape(NLIMB, c, b, r)
-    # output element j = q*R + s with q = c-index (major), s = r-index
-    return v2.transpose(0, 2, 1, 3).reshape(NLIMB, b, r * c)
-
-
 def encode_rows_mxu_core(rows, tabs, n: int, use_pallas: bool):
-    """(B, w, 8) u32 AoS rows -> (8, B, n) planar canonical codewords."""
+    """(B, w, 8) u32 AoS rows -> (8, B, n) planar canonical codewords.
+
+    Three matmul levels (iNTT L1, merged middle, NTT_n L2) with the two
+    mid twiddles fused into the renormalization kernels."""
     from .pallas import mxu_renorm as mr
     r1, c1, r2, c2, ratio = tabs["geom"]
+    g = c2 // r1
     b, w = rows.shape[0], rows.shape[1]
-    x = jnp.moveaxis(rows, -1, 0).reshape(NLIMB, -1)    # (8, B*w)
+    mid_fn = mr.renorm_mid if use_pallas else mr.renorm_mid_xla
+    fin_fn = mr.renorm_final if use_pallas else mr.renorm_final_xla
     dig_fn = mr.digitize if use_pallas else mr.digitize_xla
-    xp = dig_fn(x).reshape(NLIMB, b, w)
-    coeffs = _four_step(xp, tabs["w1"], tabs["tw1"], tabs["w2"],
-                        r1, c1, use_pallas, out_packed=True)
-    # zero-extend w -> n: nonzero element index i < w  <=>  r < R2/ratio
-    return _four_step(coeffs, tabs["w3"], tabs["tw3"], tabs["w4"],
-                      r2, c2, use_pallas, r_nonzero=r2 // ratio)
+
+    x = jnp.moveaxis(rows, -1, 0).reshape(NLIMB, -1)    # (8, B*w)
+    xp = dig_fn(x).reshape(NLIMB, b, r1, c1)            # i = r1*C1 + c1
+
+    # iNTT level 1: contract r over R1 -> (s1, B, c1)
+    xd = _unpack_digits(jnp.moveaxis(xp, 1, 2))         # (32, r1, B, c1)
+    s1 = _level_matmul(jnp.asarray(tabs["w1"]),
+                       xd.reshape(DX * r1, b * c1))
+    tw1b = jnp.broadcast_to(jnp.asarray(tabs["tw1"]),
+                            (NLIMB, r1, b, c1)).reshape(NLIMB, -1)
+    b1 = mid_fn(s1.reshape(SLOTS, -1), tw1b)            # packed (8, r1*b*c1)
+
+    # merged middle: contract c1; columns (B, s1); M stacked over h
+    b1p = b1.reshape(NLIMB, r1, b, c1).transpose(0, 3, 2, 1)
+    xd2 = _unpack_digits(b1p)                           # (32, c1, B, r1)
+    s2 = jax.lax.dot_general(
+        jnp.asarray(tabs["wm"]), xd2.reshape(DX * c1, b * r1),
+        (((1,), (0,)), ((), ())), preferred_element_type=_I32) \
+        .reshape(g, SLOTS, r2, b, r1)
+    # element (s2, c2) with c2 = h*R1 + s1
+    s2 = jnp.moveaxis(s2, 0, 3).reshape(SLOTS, r2, b, c2)
+    tw3b = jnp.broadcast_to(jnp.asarray(tabs["tw3"]),
+                            (NLIMB, r2, b, c2)).reshape(NLIMB, -1)
+    a2 = mid_fn(s2.reshape(SLOTS, -1), tw3b)            # packed
+
+    # NTT_n level 2: contract c2 -> output j = q*R2 + s2
+    a2p = a2.reshape(NLIMB, r2, b, c2).transpose(0, 3, 2, 1)
+    xd3 = _unpack_digits(a2p)                           # (32, c2, B, r2)
+    s3 = _level_matmul(jnp.asarray(tabs["w4"]),
+                       xd3.reshape(DX * c2, b * r2))
+    v = fin_fn(s3.reshape(SLOTS, -1)).reshape(NLIMB, c2, b, r2)
+    return v.transpose(0, 2, 1, 3).reshape(NLIMB, b, n)
 
 
 def encode_rows_mxu(rows, tabs, n: int, use_pallas: bool):

@@ -29,13 +29,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..field.limbs import ints_to_limbs
+from ..field import bn254 as F
+from ..field.limbs import ints_to_limbs, int_to_limbs
 from ..ops import sha256 as jsha
 from ..ops import fieldops as fo
 from ..ops.ntt import RSCodec, encode_rows, decode_rows, _planar_use, \
     _mxu_use
 
 NLIMB = 8
+F_R2 = F.R * F.R % F.MODULUS
 
 
 def _absorb_stream(state, pending, has_pending, rows, valid_count):
@@ -142,26 +144,27 @@ def _quad_contrib(quad, e, tri_idx, tri_r, pair_idx, pair_r):
     return _masked_sum(quad, fo.mulmod(d, pair_r[:, None, :]))
 
 
-def _fma_scan_planar(acc, xs, ys):
-    """acc (8, n) += sum_b xs[b]*ys[b]; xs/ys (B, 8, n) — one FMA kernel
-    per row under lax.scan (the stage-2 check accumulator the kernel was
-    designed for; ``nonbatch_context.hpp:756-771``'s EltwiseFMAMod).
-
-    Interpret mode (CPU tests) unrolls in Python instead: a lax.scan
-    whose body contains an interpret-mode pallas_call recompiles the
-    whole digit convolution through XLA:CPU, which takes minutes."""
+def _tree_sum_mod_planar(x):
+    """(B, 8, n) -> (8, n) field sum over the row axis by pairwise folds:
+    log2(B) addmod kernel calls on halved operands (total work ~= B*n
+    elements) instead of B sequential accumulator launches."""
     from ..ops.pallas import fieldmul as fm
-    if fm._interpret():
-        for b in range(xs.shape[0]):
-            acc = fm.mulmod_fma_planar(acc, xs[b], ys[b])
-        return acc
 
-    def body(a, xy):
-        x, y = xy
-        return fm.mulmod_fma_planar(a, x, y), None
+    def fold(lo, hi):
+        h = lo.shape[0]
+        s = fm.addmod_planar(jnp.moveaxis(lo, 1, 0).reshape(8, -1),
+                             jnp.moveaxis(hi, 1, 0).reshape(8, -1))
+        return jnp.moveaxis(s.reshape(8, h, -1), 1, 0)
 
-    acc, _ = jax.lax.scan(body, acc, (xs, ys))
-    return acc
+    while x.shape[0] > 1:
+        b = x.shape[0]
+        head = x[:1] if b % 2 else None
+        body = x[1:] if b % 2 else x
+        h = body.shape[0] // 2
+        x = fold(body[:h], body[h:])
+        if head is not None:
+            x = jnp.concatenate([head, x], axis=0)
+    return x[0]
 
 
 def _check_body_planar(code, linear, quad, rows, rands, code_rs, tri_idx,
@@ -184,39 +187,54 @@ def _check_body_planar(code, linear, quad, rows, rands, code_rs, tri_idx,
     lin_p = jnp.moveaxis(linear, -1, 0)
     quad_p = jnp.moveaxis(quad, -1, 0)
 
-    # code test: += sum_b e[b] * code_r[b] (scalar per row)
-    crb = jnp.broadcast_to(code_rs[:, :, None], eb.shape)   # (B, 8, n)
-    code_p = _fma_scan_planar(code_p, eb, crb)
-    # linear test: += sum_b e[b] * r[b]
-    lin_p = _fma_scan_planar(lin_p, eb, rb)
+    def flat(v):
+        return jnp.moveaxis(v, 1, 0).reshape(8, -1)
 
-    # quadratic test: += sum_t tri_r[t]*(e_x*e_y - e_z) + pair terms
+    def unflat(v, t):
+        return jnp.moveaxis(v.reshape(8, t, -1), 1, 0)
+
+    # Montgomery-scaling algebra: pre-scale the per-row test scalars by
+    # R (s -> s*R via one tiny mont_mul with R^2), so each big product
+    # is ONE mont_mul (x * sR * R^-1 = x*s, exact) instead of the
+    # two-pass full mulmod; for the linear test (both operands plain)
+    # sum first and post-scale the (8, n) sum once by R.
+    r2c = jnp.asarray(int_to_limbs(F_R2), jnp.uint32)
+
+    def scale_r(v):
+        return fm.mont_mul_planar(v, jnp.broadcast_to(r2c[:, None], v.shape))
+
+    # code test: += sum_b e[b] * code_r[b] (scalar per row)
+    cr_r = scale_r(code_rs.T)                               # (8, B) * R
+    crb = jnp.broadcast_to(cr_r.T[:, :, None], eb.shape)    # (B, 8, n)
+    prods = unflat(fm.mont_mul_planar(flat(eb), flat(crb)), eb.shape[0])
+    code_p = fm.addmod_planar(code_p, _tree_sum_mod_planar(prods))
+
+    # linear test: += sum_b e[b] * r[b]
+    prods = unflat(fm.mont_mul_planar(flat(eb), flat(rb)), eb.shape[0])
+    lin_p = fm.addmod_planar(
+        lin_p, scale_r(_tree_sum_mod_planar(prods)))
+
+    # quadratic test: += sum_t tri_r[t]*(e_x*e_y - e_z) + pair terms —
+    # batched over triples+pairs (one launch per op on (T*n) operands,
+    # one shared tree sum)
     ex = jnp.take(eb, tri_idx[:, 0], axis=0)                 # (T, 8, n)
     ey = jnp.take(eb, tri_idx[:, 1], axis=0)
     ez = jnp.take(eb, tri_idx[:, 2], axis=0)
-
-    def tri_body(a, args):
-        x, y, z, tr = args
-        t = fm.submod_planar(fm.mulmod_planar(x, y), z)
-        trb = jnp.broadcast_to(tr[:, None], t.shape)
-        return fm.mulmod_fma_planar(a, t, trb), None
-
-    def pair_body(a, args):
-        x, y, pr = args
-        d = fm.submod_planar(x, y)
-        prb = jnp.broadcast_to(pr[:, None], d.shape)
-        return fm.mulmod_fma_planar(a, d, prb), None
-
     px = jnp.take(eb, pair_idx[:, 0], axis=0)
     py = jnp.take(eb, pair_idx[:, 1], axis=0)
-    if fm._interpret():
-        for t_ in range(ex.shape[0]):
-            quad_p, _ = tri_body(quad_p, (ex[t_], ey[t_], ez[t_], tri_r[t_]))
-        for t_ in range(px.shape[0]):
-            quad_p, _ = pair_body(quad_p, (px[t_], py[t_], pair_r[t_]))
-    else:
-        quad_p, _ = jax.lax.scan(tri_body, quad_p, (ex, ey, ez, tri_r))
-        quad_p, _ = jax.lax.scan(pair_body, quad_p, (px, py, pair_r))
+
+    t_ = unflat(fm.submod_planar(fm.mulmod_planar(flat(ex), flat(ey)),
+                                 flat(ez)), ex.shape[0])
+    d_ = unflat(fm.submod_planar(flat(px), flat(py)), px.shape[0])
+    tr_r = scale_r(tri_r.T)                                 # (8, T) * R
+    pr_r = scale_r(pair_r.T)
+    trb = jnp.broadcast_to(tr_r.T[:, :, None], t_.shape)
+    prb = jnp.broadcast_to(pr_r.T[:, :, None], d_.shape)
+    terms = jnp.concatenate([t_, d_], axis=0)
+    scals = jnp.concatenate([trb, prb], axis=0)
+    prods = unflat(fm.mont_mul_planar(flat(terms), flat(scals)),
+                   terms.shape[0])
+    quad_p = fm.addmod_planar(quad_p, _tree_sum_mod_planar(prods))
     return (jnp.moveaxis(code_p, 0, -1), jnp.moveaxis(lin_p, 0, -1),
             jnp.moveaxis(quad_p, 0, -1))
 
