@@ -483,14 +483,21 @@ class RSCodec:
         self._decode = jax.jit(decode_rows, static_argnums=(3, 4))
         self._mxu_tabs = None
 
+    _MXU_TAB_CACHE: dict = {}
+
     @property
     def mxu_tabs(self):
-        """int8-matmul NTT tables for the k->n encode, built lazily (they
-        are ~150 MB device-resident and take ~10 s of host precompute)."""
+        """int8-matmul NTT tables for the k->n encode, built lazily and
+        cached per geometry across RSCodec instances (they are ~150 MB
+        device-resident and take ~10 s of host precompute — rebuilding
+        them per prove() call would dominate small proofs)."""
         if self._mxu_tabs is None:
-            from .mxu_ntt import build_codec_tables
-            self._mxu_tabs = build_codec_tables(
-                self.k, self.n, self._omegas[0], self._omegas[2])
+            key = (self.k, self.n)
+            if key not in RSCodec._MXU_TAB_CACHE:
+                from .mxu_ntt import build_codec_tables
+                RSCodec._MXU_TAB_CACHE[key] = build_codec_tables(
+                    self.k, self.n, self._omegas[0], self._omegas[2])
+            self._mxu_tabs = RSCodec._MXU_TAB_CACHE[key]
         return self._mxu_tabs
 
     def encode(self, rows):

@@ -29,7 +29,8 @@ from .zkp.csprng import HashRandomEngine
 from .zkp.sampling import portable_sample
 from .zkp.merkle import MerkleTree
 from .zkp.executor import TpuExecutor
-from .zkp.context import Stage1Context, Stage2Context, Stage3Context
+from .zkp.context import Stage1Context, Stage2Context, Stage3Context, \
+    RowTape
 from .zkp.proof import serialize_proof
 
 
@@ -57,16 +58,43 @@ def _field_sum(vals: list[int]) -> int:
     return acc
 
 
+def _stage3_replay(executor, tape: RowTape, sample_index) -> list:
+    """Stage 3 from the row tape: encode + gather the sampled columns of
+    every recorded stage-1 batch in order — no third program execution,
+    and device-resident chunks never touch the host.  Produces the exact
+    host_samplings sequence Stage3Context would (flush boundaries only
+    group rows; the output is per-row ordered)."""
+    idx = np.asarray(sample_index, np.int32)
+    outs: list[tuple[int, object]] = []
+    for width, cnt, batch in tape.replay():
+        outs.append((cnt, executor.open_step(
+            batch, idx, width_2k=width != executor.k)))
+    # one device->host fetch at the end instead of one per batch (the
+    # per-batch fetch serialized the whole stage on transfer latency)
+    host: list[np.ndarray] = []
+    for cnt, out in outs:
+        arr = np.asarray(out, np.uint32)
+        host.extend(arr[i] for i in range(cnt))
+    return host
+
+
 def prove(program, *, geometry: RowGeometry = RowGeometry(),
           instance_hash: bytes = bytes(32),
           program_hash: bytes = bytes(32),
           encoding_seed: bytes | None = None,
           executor: TpuExecutor | None = None,
           mesh=None,
-          batch_rows: int = 32) -> ProveResult:
+          batch_rows: int = 32,
+          row_tape: bool = True) -> ProveResult:
     """`mesh`: a jax.sharding.Mesh with a "cols" axis — runs the stage
     pipelines column-sharded across its devices (parallel/mesh.py); the
-    proof bytes are identical to the single-device prover's."""
+    proof bytes are identical to the single-device prover's.
+
+    `row_tape`: spool stage-1 rows to a temp file and replay them in
+    stage 3, skipping the third program execution (rows are identical by
+    construction — stage 3 draws the same encoding randomness and runs
+    no checks).  Costs 32*k bytes of spool per row; disable to reproduce
+    the reference's re-execution behavior exactly."""
     k, l, n = geometry.k, geometry.l, geometry.n
     if executor is None:
         if mesh is not None:
@@ -78,8 +106,9 @@ def prove(program, *, geometry: RowGeometry = RowGeometry(),
         encoding_seed = os.urandom(32)  # prover-private randomness
 
     # Stage 1: commit ------------------------------------------------------
+    tape = RowTape() if row_tape else None
     with timer("stage1"):
-        ctx1 = Stage1Context(executor, l)
+        ctx1 = Stage1Context(executor, l, row_tape=tape)
         ctx1.init_encoding_random(encoding_seed, IV_ANY)
         program(ctx1)
         ctx1.finalize()
@@ -110,14 +139,23 @@ def prove(program, *, geometry: RowGeometry = RowGeometry(),
 
     # Stage 3: openings ----------------------------------------------------
     with timer("stage3"):
-        ctx3 = Stage3Context(executor, l, sample_index)
-        ctx3.init_encoding_random(encoding_seed, IV_ANY)
-        program(ctx3)
-        ctx3.finalize()
+        if tape is not None:
+            host_samplings = _stage3_replay(executor, tape, sample_index)
+            tape.close()
+            samplings = (np.concatenate(
+                [s.reshape(-1) for s in host_samplings])
+                if host_samplings else np.zeros(0, np.uint32))
+        else:
+            ctx3 = Stage3Context(executor, l, sample_index)
+            ctx3.init_encoding_random(encoding_seed, IV_ANY)
+            program(ctx3)
+            ctx3.finalize()
+            host_samplings = ctx3.host_samplings
+            samplings = ctx3.samplings_u32()
 
     proof = serialize_proof(
         root, code_cw, linear_cw, quad_cw, sample_index, siblings,
-        ctx3.samplings_u32(), program_hash=program_hash, k=k, n=n)
+        samplings, program_hash=program_hash, k=k, n=n)
 
     # Self-check (``webgpu_prover.cpp:461-484``)
     valid_code = all(v == 0 for v in decoded_code[k:])
@@ -125,5 +163,5 @@ def prove(program, *, geometry: RowGeometry = RowGeometry(),
     valid_quad = all(v == 0 for v in decoded_quad[:l])
 
     return ProveResult(proof, root, valid_code, valid_linear, valid_quad,
-                       num_rows=len(ctx3.host_samplings),
+                       num_rows=len(host_samplings),
                        num_linear=num_linear, num_quadratic=num_quadratic)

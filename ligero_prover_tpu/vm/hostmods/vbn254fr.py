@@ -193,9 +193,13 @@ class VBn254frModule:
         return getattr(self.zk, "wants_batch_rows", True)
 
     def _rows_np(self, *rows):
+        """Rows handed to the batch hooks STAY DEVICE-RESIDENT: the stage
+        contexts stack them straight into the next pipeline batch, so no
+        device->host->device round trip happens per row (measured: the
+        per-row readback dominated end-to-end prove wall-clock)."""
         if not self._wants_rows():
             return [None] * len(rows)
-        return [np.asarray(r, np.uint32) for r in rows]
+        return list(rows)
 
     def _make_row(self, values: list[int]) -> np.ndarray:
         """Build a full k-wide limb row: values, zeros to l, encoding
@@ -431,7 +435,6 @@ class VBn254frModule:
         if (slots >= MAX_VARIABLES).any():
             raise WasmTrap("vbn254fr: invalid handle in bit_decompose")
         self.arena, rows = self.ops["bit_decompose"](self.arena, xi, slots)
-        rows_np = (np.asarray(rows, np.uint32) if self._wants_rows()
-                   else [None] * F.NUM_BITS)
+        wants = self._wants_rows()
         for i in range(F.NUM_BITS):
-            self.zk.on_batch_bit(rows_np[i])
+            self.zk.on_batch_bit(rows[i] if wants else None)

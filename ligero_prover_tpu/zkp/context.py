@@ -105,17 +105,70 @@ def _pack_quads(bsz: int, tris, pairs):
     return tri_idx, tri_r, pair_idx, pair_r
 
 
+def _stack_batch(queue, bsz: int, width: int):
+    """Stack queued rows — numpy (witness path) and/or device arrays
+    (vbn254fr batch rows) — into one (bsz, width, 8) batch, zero-padded.
+    All-numpy queues stay numpy (no device work on the CPU test path);
+    any device row promotes the whole batch to a device stack, keeping
+    vbn254fr rows resident with no host round trip."""
+    cnt = len(queue)
+    if all(isinstance(r, np.ndarray) for r in queue):
+        batch = np.zeros((bsz, width, NLIMB), np.uint32)
+        if cnt:
+            batch[:cnt] = np.stack(queue)
+        return batch
+    import jax.numpy as jnp
+    zero = jnp.zeros((width, NLIMB), jnp.uint32)
+    rows = [jnp.asarray(r) for r in queue] + [zero] * (bsz - cnt)
+    return jnp.stack(rows)
+
+
+class RowTape:
+    """Chunked record of every committed batch (stage-1 order).
+
+    Stage 3 draws the same encoding randomness as stage 1 and runs no
+    checks, so its row stream is a bit-exact replay of stage 1's — the
+    reference re-executes the whole program a third time only because it
+    refuses to store rows (``webgpu_prover.cpp:408``).  Recording the
+    already-built stage-1 batches (device arrays stay device-resident up
+    to `cap_bytes`, then spill to host numpy) lets the prover skip the
+    third interpreter execution entirely; see ``prover._stage3_replay``.
+    """
+
+    def __init__(self, cap_bytes: int = 2 << 30):
+        self.chunks: list[tuple[int, int, object]] = []  # (width, cnt, batch)
+        self._device_bytes = 0
+        self._cap = cap_bytes
+
+    def append_batch(self, batch, cnt: int, width: int):
+        if not isinstance(batch, np.ndarray):
+            nbytes = int(np.prod(batch.shape)) * 4
+            if self._device_bytes + nbytes > self._cap:
+                batch = np.asarray(batch, np.uint32)   # spill (batched D2H)
+            else:
+                self._device_bytes += nbytes
+        self.chunks.append((width, cnt, batch))
+
+    def replay(self):
+        yield from self.chunks
+
+    def close(self):
+        self.chunks = []
+
+
 class Stage1Context(_ContextBase):
     """Commit: encode every row, absorb codeword columns into n SHA states
     (``nonbatch_context.hpp:393-581``)."""
 
     policy = STAGE1_POLICY
 
-    def __init__(self, executor: TpuExecutor, l: int):
+    def __init__(self, executor: TpuExecutor, l: int,
+                 row_tape: RowTape | None = None):
         super().__init__(executor)
         self._init_backend(l)
         self.sha = executor.sha_init(executor.n)
         self.rows_absorbed = 0
+        self.row_tape = row_tape
         self._queue: list[np.ndarray] = []
 
     # -- manager callbacks --
@@ -147,7 +200,7 @@ class Stage1Context(_ContextBase):
         self._push(rz)
 
     def _push(self, row):
-        arr = row if isinstance(row, np.ndarray) else _to_limbs(row, self.k)
+        arr = row if not isinstance(row, list) else _to_limbs(row, self.k)
         self._queue.append(arr)
         if len(self._queue) >= self.executor.batch_rows:
             self._flush()
@@ -155,11 +208,11 @@ class Stage1Context(_ContextBase):
     def _flush(self):
         if not self._queue:
             return
-        bsz = self.executor.batch_rows
-        batch = np.zeros((bsz, self.k, NLIMB), np.uint32)
         cnt = len(self._queue)
-        batch[:cnt] = np.stack(self._queue)
+        batch = _stack_batch(self._queue, self.executor.batch_rows, self.k)
         self.sha = self.executor.commit_step(self.sha, batch, cnt)
+        if self.row_tape is not None:
+            self.row_tape.append_batch(batch, cnt, self.k)
         self.rows_absorbed += cnt
         self._queue = []
 
@@ -168,11 +221,13 @@ class Stage1Context(_ContextBase):
         batch = np.zeros((self.executor.batch_rows, self.k, NLIMB), np.uint32)
         batch[0] = _to_limbs(code, self.k)
         self.sha = self.executor.commit_step(self.sha, batch, 1)
-        batch2 = np.zeros((2, 2 * self.k, NLIMB), np.uint32)
-        batch2[0] = _to_limbs(linear, 2 * self.k)
-        batch2[1] = _to_limbs(quad, 2 * self.k)
+        batch2 = np.stack([_to_limbs(linear, 2 * self.k),
+                           _to_limbs(quad, 2 * self.k)])
         self.sha = self.executor.commit_step(self.sha, batch2, 2,
                                              width_2k=True)
+        if self.row_tape is not None:
+            self.row_tape.append_batch(batch, 1, self.k)
+            self.row_tape.append_batch(batch2, 2, 2 * self.k)
         self.rows_absorbed += 3
 
     def finalize(self):
@@ -198,10 +253,11 @@ class Stage2Context(_ContextBase):
         z = jnp.zeros((executor.n, NLIMB), jnp.uint32)
         self.accs = (z, z, z)
         self._rows: list[np.ndarray] = []
-        self._rands: list[np.ndarray] = []
+        self._rands: list[np.ndarray | None] = []
         self._code_rs: list[np.ndarray] = []
         self._tris: list[tuple[int, int, int, np.ndarray]] = []
         self._pairs: list[tuple[int, int, np.ndarray]] = []
+        self._zero_rands = None
 
     def _draw_code_random(self) -> int:
         m = self.backend.manager
@@ -276,10 +332,9 @@ class Stage2Context(_ContextBase):
         self._maybe_flush()
 
     def _enqueue_row(self, row, rand, code_r: int):
-        self._rows.append(row if isinstance(row, np.ndarray)
+        self._rows.append(row if not isinstance(row, list)
                           else _to_limbs(row, self.k))
-        self._rands.append(np.zeros((self.k, NLIMB), np.uint32)
-                           if rand is None else _to_limbs(rand, self.k))
+        self._rands.append(None if rand is None else _to_limbs(rand, self.k))
         self._code_rs.append(ints_to_limbs([code_r])[0])
 
     def _maybe_flush(self):
@@ -290,12 +345,22 @@ class Stage2Context(_ContextBase):
         if not self._rows:
             return
         bsz = self.executor.batch_rows
-        rows = np.zeros((bsz, self.k, NLIMB), np.uint32)
-        rands = np.zeros((bsz, self.k, NLIMB), np.uint32)
         code_rs = np.zeros((bsz, NLIMB), np.uint32)
         cnt = len(self._rows)
-        rows[:cnt] = np.stack(self._rows)
-        rands[:cnt] = np.stack(self._rands)
+        rows = _stack_batch(self._rows, bsz, self.k)
+        if all(r is None for r in self._rands):
+            # batch rows carry no randomness row: reuse one device-cached
+            # zeros buffer instead of uploading 32*k*32 B per flush
+            if self._zero_rands is None:
+                import jax.numpy as jnp
+                self._zero_rands = jnp.zeros((bsz, self.k, NLIMB),
+                                             jnp.uint32)
+            rands = self._zero_rands
+        else:
+            rands = np.zeros((bsz, self.k, NLIMB), np.uint32)
+            for i, r in enumerate(self._rands):
+                if r is not None:
+                    rands[i] = r
         code_rs[:cnt] = np.stack(self._code_rs)
         tri_idx, tri_r, pair_idx, pair_r = _pack_quads(
             bsz, self._tris, self._pairs)
@@ -377,10 +442,8 @@ class Stage3Context(_ContextBase):
     def _flush(self):
         if not self._queue:
             return
-        bsz = self.executor.batch_rows
-        batch = np.zeros((bsz, self.k, NLIMB), np.uint32)
         cnt = len(self._queue)
-        batch[:cnt] = np.stack(self._queue)
+        batch = _stack_batch(self._queue, self.executor.batch_rows, self.k)
         out = np.asarray(self.executor.open_step(batch, self.sample_index),
                          np.uint32)
         self.host_samplings.extend(out[i] for i in range(cnt))

@@ -206,7 +206,7 @@ def test_vbn254fr_tamper_detected(shared_executor):
         self.arena, rx, ry, out = self.ops["mul"](self.arena, xi, yi, oi)
         nx, ny, nz = self._rows_np(rx, ry, out)
         if nz is not None:
-            nz = nz.copy()
+            nz = np.asarray(nz, np.uint32).copy()  # rows are device-resident
             nz[0] ^= 1  # claim a wrong product in lane 0
         self.zk.on_batch_quadratic(nx, ny, nz)
 
