@@ -38,6 +38,38 @@ def _sdiv(a: int, b: int) -> int:
     return -q if (a < 0) != (b < 0) else q
 
 
+def _fdiv(a: float, b: float) -> float:
+    """IEEE 754 division on Python floats (spec exec/numerics fdiv).
+
+    Python raises ZeroDivisionError for b == +-0; WASM requires
+    nan for 0/0 and nan operands, and a correctly-signed infinity
+    otherwise."""
+    if b != 0 or math.isnan(b):
+        return a / b
+    if math.isnan(a) or a == 0:
+        return float("nan")
+    sign = math.copysign(1.0, a) * math.copysign(1.0, b)
+    return math.copysign(float("inf"), sign)
+
+
+def _fmin(a: float, b: float) -> float:
+    """WASM fmin: NaN-propagating, min(-0, +0) = -0 (spec fmin)."""
+    if math.isnan(a) or math.isnan(b):
+        return float("nan")
+    if a == b == 0:  # distinguish signed zeros, which compare equal
+        return a if math.copysign(1.0, a) < 0 else b
+    return min(a, b)
+
+
+def _fmax(a: float, b: float) -> float:
+    """WASM fmax: NaN-propagating, max(-0, +0) = +0 (spec fmax)."""
+    if math.isnan(a) or math.isnan(b):
+        return float("nan")
+    if a == b == 0:
+        return a if math.copysign(1.0, a) > 0 else b
+    return max(a, b)
+
+
 def _srem(a: int, b: int) -> int:
     r = abs(a) % abs(b)
     return -r if a < 0 else r
@@ -881,6 +913,8 @@ class Interpreter:
         x = ctx.make_numeric(ctx.pop())
         t = instr[0].split(".")[0]
         v = fn(x.as_f64(), y.as_f64())
+        if math.isnan(v):
+            v = float("nan")  # canonical quiet NaN (deterministic profile)
         ctx.push(f32(v) if t == F32 else f64(v))
 
     def _fcmp(self, instr, fn):
@@ -894,6 +928,8 @@ class Interpreter:
         x = ctx.make_numeric(ctx.pop())
         t = instr[0].split(".")[0]
         v = fn(x.as_f64())
+        if math.isnan(v):
+            v = float("nan")
         ctx.push(f32(v) if t == F32 else f64(v))
 
     def op_float(self, instr):
@@ -906,15 +942,11 @@ class Interpreter:
         elif kind == "mul":
             self._fbin(instr, lambda a, b: a * b)
         elif kind == "div":
-            self._fbin(instr, lambda a, b:
-                       a / b if b != 0 else math.copysign(float("inf"), a) *
-                       math.copysign(1.0, b) if a != 0 else float("nan"))
+            self._fbin(instr, _fdiv)
         elif kind == "min":
-            self._fbin(instr, lambda a, b: float("nan")
-                       if math.isnan(a) or math.isnan(b) else min(a, b))
+            self._fbin(instr, _fmin)
         elif kind == "max":
-            self._fbin(instr, lambda a, b: float("nan")
-                       if math.isnan(a) or math.isnan(b) else max(a, b))
+            self._fbin(instr, _fmax)
         elif kind == "copysign":
             self._fbin(instr, lambda a, b: math.copysign(a, b))
         elif kind == "eq":
@@ -934,11 +966,11 @@ class Interpreter:
         elif kind == "neg":
             self._funary(instr, lambda a: -a)
         elif kind == "ceil":
-            self._funary(instr, math.ceil)
+            self._funary(instr, lambda a: float(np.ceil(a)))
         elif kind == "floor":
-            self._funary(instr, math.floor)
+            self._funary(instr, lambda a: float(np.floor(a)))
         elif kind == "trunc":
-            self._funary(instr, math.trunc)
+            self._funary(instr, lambda a: float(np.trunc(a)))
         elif kind == "nearest":
             self._funary(instr, lambda a: float(np.rint(a)))
         elif kind == "sqrt":
