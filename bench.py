@@ -142,6 +142,14 @@ def main():
                                       tri_r, pair_idx, pair_r),
                 lambda o: np.asarray(o[0][:1, :1]))
     detail["check_rows_per_s"] = round(batch / dt2, 1)
+    # batch-row flushes (vbn254fr/bit/equal/quadratic hooks) carry no
+    # linear-randomness rows; the rands_zero jit variant skips the second
+    # encode + linear accumulation entirely
+    dt2z = bench(lambda: ex.check_step(accs, rows, rands, code_rs, tri_idx,
+                                       tri_r, pair_idx, pair_r,
+                                       rands_zero=True),
+                 lambda o: np.asarray(o[0][:1, :1]))
+    detail["check_batchrow_rows_per_s"] = round(batch / dt2z, 1)
 
     # stage-3 open pipeline
     idx = np.sort(rng.choice(N, 192, replace=False)).astype(np.int32)

@@ -1,9 +1,17 @@
 #!/usr/bin/env python
-"""Per-stage profile of the MXU encode pipeline at production geometry."""
+"""Per-stage profile of the MXU encode pipeline at production geometry.
+
+Times each component of ``ops/mxu_ntt.encode_rows_mxu_core`` at its real
+shape (k=8192, n=32768, B=32) so the encode roofline in bench.py stays
+honest: three int8 matmuls (MXU), two mid renorms + final renorm
+(Pallas/VPU), digitize, and the glue (unpack + transposes) by
+subtraction from the full pipeline.
+"""
 import os
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import json
 import time
 import numpy as np
 import jax
@@ -14,6 +22,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ligero_prover_tpu.field import bn254 as F
 from ligero_prover_tpu.ops import mxu_ntt as M
+from ligero_prover_tpu.ops.pallas import mxu_renorm as mr
 
 
 def timeit(fn, ready, iters=5, warmup=2):
@@ -37,46 +46,61 @@ def fr(o):
 
 
 def main():
-    K, N = 8192, 32768
-    B = 32
+    K, N, B = 8192, 32768, 32
     w_k, _, w_n = F.generate_omegas(K, N)
     tabs = M.build_codec_tables(K, N, w_k, w_n)
     r1, c1, r2, c2, ratio = tabs["geom"]
+    g = c2 // r1
     rng = np.random.default_rng(0)
-    out = {}
+    out = {"geom": [r1, c1, r2, c2, ratio]}
 
-    # NTT_n level 2 matmul alone: (64*C2, 32*C2) @ (32*C2, B*R2)
-    w4 = jnp.asarray(tabs["w4"])
-    xd = jnp.asarray(rng.integers(-127, 127, (32 * c2, B * r2)).astype(np.int8))
     mm = jax.jit(lambda w, x: jax.lax.dot_general(
         w, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32))
-    dt = timeit(lambda: mm(w4, xd), fr)
-    macs = w4.shape[0] * w4.shape[1] * xd.shape[1]
-    out["L2n_matmul_ms"] = round(dt * 1e3, 2)
-    out["L2n_matmul_Tops"] = round(2 * macs / dt / 1e12, 1)
 
-    # renorm alone on the L2n slot shape (64, C2*B*R2)
-    slots = jnp.asarray(
-        rng.integers(-2**26, 2**26, (64, c2 * B * r2)).astype(np.int32))
-    rn = jax.jit(M._renorm_slots)
-    dt = timeit(lambda: rn(slots), fr)
-    out["renorm_L2n_ms"] = round(dt * 1e3, 2)
+    def time_mm(key, w, cols):
+        wd = jnp.asarray(w)
+        xd = jnp.asarray(rng.integers(-127, 127,
+                                      (wd.shape[1], cols)).astype(np.int8))
+        dt = timeit(lambda: mm(wd, xd), fr)
+        out[f"{key}_ms"] = round(dt * 1e3, 2)
+        out[f"{key}_Tops"] = round(
+            2 * wd.shape[0] * wd.shape[1] * cols / dt / 1e12, 1)
+        return dt
 
-    # digitize alone on (8, C2*B*R2) u32
-    vals = jnp.asarray(
-        rng.integers(0, 2**32, (8, c2 * B * r2)).astype(np.uint32))
-    dg = jax.jit(M.digitize_planar)
-    dt = timeit(lambda: dg(vals), fr)
-    out["digitize_ms"] = round(dt * 1e3, 2)
+    t_mm1 = time_mm("mm1", tabs["w1"], B * c1)
+    t_mm2 = time_mm("mm_wm", tabs["wm"], B * r1)
+    t_mm3 = time_mm("mm_w4", tabs["w4"], B * r2)
 
-    # twiddle mont on (8, R2, B, C2)
-    v4 = jnp.asarray(
-        rng.integers(0, 2**31, (8, r2, B, c2)).astype(np.uint32))
-    tw = jax.jit(M._twiddle_mul, static_argnums=(2,))
-    dt = timeit(lambda: tw(v4, tabs["tw3"], True), fr)
-    out["twiddle_n_ms"] = round(dt * 1e3, 2)
+    def time_renorm(key, fn, x_elems, with_tw):
+        slots = jnp.asarray(rng.integers(-2**26, 2**26,
+                                         (64, x_elems)).astype(np.int32))
+        if with_tw:
+            tw = jnp.asarray(rng.integers(0, 2**31,
+                                          (8, x_elems)).astype(np.uint32))
+            f = jax.jit(lambda s, t: fn(s, t))
+            dt = timeit(lambda: f(slots, tw), fr)
+        else:
+            f = jax.jit(fn)
+            dt = timeit(lambda: f(slots), fr)
+        out[f"{key}_ms"] = round(dt * 1e3, 2)
+        return dt
 
-    import json
+    t_rn1 = time_renorm("renorm_mid_k", mr.renorm_mid, B * K, True)
+    t_rn2 = time_renorm("renorm_mid_n", mr.renorm_mid, B * N, True)
+    t_rn3 = time_renorm("renorm_final_n", mr.renorm_final, B * N, False)
+
+    vals = jnp.asarray(rng.integers(0, 2**31, (8, B * K)).astype(np.uint32))
+    dgf = jax.jit(mr.digitize)
+    t_dig = timeit(lambda: dgf(vals), fr)
+    out["digitize_ms"] = round(t_dig * 1e3, 2)
+
+    rows = jnp.asarray(rng.integers(0, 2**29, (B, K, 8)).astype(np.uint32))
+    enc = jax.jit(M.encode_rows_mxu_core, static_argnums=(2, 3))
+    t_full = timeit(lambda: enc(rows, tabs, N, True), fr)
+    out["encode_full_ms"] = round(t_full * 1e3, 2)
+    known = t_mm1 + t_mm2 + t_mm3 + t_rn1 + t_rn2 + t_rn3 + t_dig
+    out["glue_ms"] = round((t_full - known) * 1e3, 2)
+    out["rows_per_s"] = round(B / t_full, 1)
     print(json.dumps(out))
 
 

@@ -147,6 +147,8 @@ def cmd_verify(jstr: str, proof_file: str = "proof_data.gz") -> int:
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     _enable_compilation_cache()
+    from .utils.log import configure as _log_configure
+    _log_configure()  # leveled diagnostics via LIGERO_LOG=debug|info|...
     print(f"ligero-prover-tpu v{__version__}")
     if len(argv) < 2 or argv[0] not in ("prove", "verify"):
         print("usage: python -m ligero_prover_tpu.cli "

@@ -92,13 +92,14 @@ class ShardedExecutor(TpuExecutor):
 
         def check(code, linear, quad, rows, rands, code_rs, tri_idx,
                   tri_r, pair_idx, pair_r, dom_k, dom_n, n_, planar,
-                  mxu_tabs=None, use_mxu=False):
+                  mxu_tabs=None, use_mxu=False, rands_zero=False):
             code = _constrain(mesh_, code, col)
             linear = _constrain(mesh_, linear, col)
             quad = _constrain(mesh_, quad, col)
             out = _ex._check_body(code, linear, quad, rows, rands,
                                   code_rs, tri_idx, tri_r, pair_idx,
-                                  pair_r, dom_k, dom_n, n_, planar)
+                                  pair_r, dom_k, dom_n, n_, planar,
+                                  rands_zero=rands_zero)
             return tuple(_constrain(mesh_, o, col) for o in out)
 
         def mask(code, linear, quad, *args):
@@ -114,7 +115,7 @@ class ShardedExecutor(TpuExecutor):
             return _constrain(mesh_, out, P())   # replicate openings
 
         self._commit = jax.jit(commit, static_argnums=(7, 8, 10))
-        self._check = jax.jit(check, static_argnums=(12, 13, 15))
+        self._check = jax.jit(check, static_argnums=(12, 13, 15, 16))
         self._mask = jax.jit(mask, static_argnums=(9, 10))
         self._open = jax.jit(open_, static_argnums=(4, 5, 7))
         # The verifier works on 192 sampled columns — too small to shard
@@ -128,3 +129,17 @@ class ShardedExecutor(TpuExecutor):
             pending = jax.device_put(
                 pending, NamedSharding(self.mesh, P("cols")))
         return state, pending, hp
+
+    def fetch(self, x) -> np.ndarray:
+        """Host read of a (possibly globally-sharded) pipeline output.
+
+        On a multi-process mesh the column shards live on other hosts, so
+        np.asarray would fail; replicate over the mesh first (GSPMD
+        all-gather, rides ICI/DCN) and read the process-local copy.  Every
+        process gets the same bytes -> the Fiat-Shamir transcript stays
+        replicated across hosts by construction."""
+        if not isinstance(x, jax.Array) or x.is_fully_addressable:
+            return np.asarray(x, np.uint32)
+        rep = jax.jit(lambda a: a, out_shardings=NamedSharding(
+            self.mesh, P()))(x)
+        return np.asarray(rep.addressable_data(0), np.uint32)

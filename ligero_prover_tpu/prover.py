@@ -24,6 +24,7 @@ from .field import bn254 as F
 from .field.limbs import limbs_to_ints
 from .params import RowGeometry, SAMPLE_SIZE, IV_ANY
 from .utils.timer import timer
+from .utils.log import get_logger
 from .zkp import transcript
 from .zkp.csprng import HashRandomEngine
 from .zkp.sampling import portable_sample
@@ -49,6 +50,9 @@ class ProveResult:
     @property
     def ok(self) -> bool:
         return self.valid_code and self.valid_linear and self.valid_quad
+
+
+_log = get_logger("prover")
 
 
 def _field_sum(vals: list[int]) -> int:
@@ -116,6 +120,9 @@ def prove(program, *, geometry: RowGeometry = RowGeometry(),
         num_linear, num_quadratic = m1.linear_counter, m1.quadratic_counter
         tree = MerkleTree(ctx1.flush_digests())
         root = tree.root
+    _log.info("stage1: %d rows committed (%d linear, %d quadratic), "
+              "root %s", ctx1.rows_absorbed, num_linear, num_quadratic,
+              root.hex()[:16])
     seed1 = transcript.stage1_seed(root, instance_hash)
 
     # Stage 2: checks ------------------------------------------------------
@@ -131,6 +138,7 @@ def prove(program, *, geometry: RowGeometry = RowGeometry(),
     seed2 = transcript.stage2_seed(root, code_cw, linear_cw, quad_cw)
     engine = HashRandomEngine(seed2)
     sample_index = sorted(portable_sample(n, SAMPLE_SIZE, engine))
+    _log.debug("stage2 done; %d columns sampled", len(sample_index))
     siblings = tree.decommit(sample_index)
 
     decoded_code = limbs_to_ints(executor.decode(code_cw))
@@ -156,6 +164,9 @@ def prove(program, *, geometry: RowGeometry = RowGeometry(),
     proof = serialize_proof(
         root, code_cw, linear_cw, quad_cw, sample_index, siblings,
         samplings, program_hash=program_hash, k=k, n=n)
+    _log.info("stage3: %d rows opened; proof %d bytes%s",
+              len(host_samplings), len(proof),
+              " (tape replay)" if tape is not None else "")
 
     # Self-check (``webgpu_prover.cpp:461-484``)
     valid_code = all(v == 0 for v in decoded_code[k:])

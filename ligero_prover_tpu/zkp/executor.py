@@ -169,20 +169,27 @@ def _tree_sum_mod_planar(x):
 
 def _check_body_planar(code, linear, quad, rows, rands, code_rs, tri_idx,
                        tri_r, pair_idx, pair_r, dom_k, dom_n, n,
-                       mxu_tabs=None, use_mxu=False):
+                       mxu_tabs=None, use_mxu=False, rands_zero=False):
     """Planar stage-2 pipeline: data stays limb-major end-to-end — no
-    AoS<->planar transposes around each field op (VERDICT r3 weak #3)."""
+    AoS<->planar transposes around each field op (VERDICT r3 weak #3).
+
+    `rands_zero` (static): the flush carries only batch rows, which have
+    no linear-test randomness rows (`context.py Stage2._flush`); the
+    whole second encode and the linear accumulation are identities on
+    zeros, so this variant compiles them away (~40% of the pipeline)."""
     from ..ops.ntt import encode_rows_cg_planar_core
     from ..ops.pallas import fieldmul as fm
     if use_mxu:
         from ..ops.mxu_ntt import encode_rows_mxu_core
         e = encode_rows_mxu_core(rows, mxu_tabs, n, True)    # (8, B, n)
-        r = encode_rows_mxu_core(rands, mxu_tabs, n, True)
+        r = None if rands_zero else \
+            encode_rows_mxu_core(rands, mxu_tabs, n, True)
     else:
         e = encode_rows_cg_planar_core(rows, dom_k, dom_n, n)
-        r = encode_rows_cg_planar_core(rands, dom_k, dom_n, n)
+        r = None if rands_zero else \
+            encode_rows_cg_planar_core(rands, dom_k, dom_n, n)
     eb = jnp.moveaxis(e, 1, 0)                               # (B, 8, n)
-    rb = jnp.moveaxis(r, 1, 0)
+    rb = None if rands_zero else jnp.moveaxis(r, 1, 0)
     code_p = jnp.moveaxis(code, -1, 0)                       # (8, n)
     lin_p = jnp.moveaxis(linear, -1, 0)
     quad_p = jnp.moveaxis(quad, -1, 0)
@@ -209,10 +216,11 @@ def _check_body_planar(code, linear, quad, rows, rands, code_rs, tri_idx,
     prods = unflat(fm.mont_mul_planar(flat(eb), flat(crb)), eb.shape[0])
     code_p = fm.addmod_planar(code_p, _tree_sum_mod_planar(prods))
 
-    # linear test: += sum_b e[b] * r[b]
-    prods = unflat(fm.mont_mul_planar(flat(eb), flat(rb)), eb.shape[0])
-    lin_p = fm.addmod_planar(
-        lin_p, scale_r(_tree_sum_mod_planar(prods)))
+    # linear test: += sum_b e[b] * r[b]  (identity when rands are zero)
+    if not rands_zero:
+        prods = unflat(fm.mont_mul_planar(flat(eb), flat(rb)), eb.shape[0])
+        lin_p = fm.addmod_planar(
+            lin_p, scale_r(_tree_sum_mod_planar(prods)))
 
     # quadratic test: += sum_t tri_r[t]*(e_x*e_y - e_z) + pair terms —
     # batched over triples+pairs (one launch per op on (T*n) operands,
@@ -241,20 +249,24 @@ def _check_body_planar(code, linear, quad, rows, rands, code_rs, tri_idx,
 
 def _check_body(code, linear, quad, rows, rands, code_rs, tri_idx, tri_r,
                 pair_idx, pair_r, dom_k, dom_n, n, use_planar=False,
-                mxu_tabs=None, use_mxu=False):
+                mxu_tabs=None, use_mxu=False, rands_zero=False):
     if use_planar:
         return _check_body_planar(code, linear, quad, rows, rands, code_rs,
                                   tri_idx, tri_r, pair_idx, pair_r,
-                                  dom_k, dom_n, n, mxu_tabs, use_mxu)
+                                  dom_k, dom_n, n, mxu_tabs, use_mxu,
+                                  rands_zero)
     if use_mxu:
         from ..ops.mxu_ntt import encode_rows_mxu
         e = encode_rows_mxu(rows, mxu_tabs, n, False)
-        r = encode_rows_mxu(rands, mxu_tabs, n, False)
+        r = None if rands_zero else encode_rows_mxu(rands, mxu_tabs, n,
+                                                    False)
     else:
         e = encode_rows(rows, dom_k, dom_n, n, use_planar)
-        r = encode_rows(rands, dom_k, dom_n, n, use_planar)
+        r = None if rands_zero else encode_rows(rands, dom_k, dom_n, n,
+                                                use_planar)
     code = _masked_sum(code, fo.mulmod(e, code_rs[:, None, :]))
-    linear = _masked_sum(linear, fo.mulmod(e, r))
+    if not rands_zero:
+        linear = _masked_sum(linear, fo.mulmod(e, r))
     quad = _quad_contrib(quad, e, tri_idx, tri_r, pair_idx, pair_r)
     return code, linear, quad
 
@@ -303,7 +315,7 @@ def _verify_mask_body(state, pending, has_pending, code, linear, quad, ms):
 
 
 _commit_jit = jax.jit(_commit_body, static_argnums=(7, 8, 10))
-_check_jit = jax.jit(_check_body, static_argnums=(12, 13, 15))
+_check_jit = jax.jit(_check_body, static_argnums=(12, 13, 15, 16))
 _mask_jit = jax.jit(_mask_body, static_argnums=(9, 10))
 _open_jit = jax.jit(_open_body, static_argnums=(4, 5, 7))
 _verify_jit = jax.jit(_verify_body, static_argnums=(17, 18))
@@ -328,6 +340,14 @@ class TpuExecutor:
         self.batch_rows = batch_rows
 
     # ---- helpers ---------------------------------------------------------
+
+    def fetch(self, x) -> np.ndarray:
+        """Device -> host transfer of a pipeline output.  The contexts and
+        drivers call this (never raw np.asarray) so that the multi-host
+        executor can substitute a replicate-then-read (parallel/mesh.py:
+        ShardedExecutor.fetch handles globally-sharded arrays whose shards
+        live on other processes)."""
+        return np.asarray(x, np.uint32)
 
     def rows_to_limbs(self, rows: list[list[int]], width: int) -> np.ndarray:
         out = np.zeros((len(rows), width, NLIMB), np.uint32)
@@ -355,7 +375,7 @@ class TpuExecutor:
     # ---- stage 2: checks -------------------------------------------------
 
     def check_step(self, accs, rows, rands, code_rs, tri_idx, tri_r,
-                   pair_idx, pair_r):
+                   pair_idx, pair_r, rands_zero=False):
         use_mxu = self._use_mxu()
         return self._check(*accs, jnp.asarray(rows), jnp.asarray(rands),
                           jnp.asarray(code_rs), jnp.asarray(tri_idx),
@@ -364,7 +384,7 @@ class TpuExecutor:
                           self.codec.dom_k, self.codec.dom_n, self.n,
                           _planar_use(),
                           self.codec.mxu_tabs if use_mxu else None,
-                          use_mxu)
+                          use_mxu, rands_zero)
 
     def mask_step(self, accs, code_row, linear_row, quad_row):
         return self._mask(*accs, jnp.asarray(code_row),

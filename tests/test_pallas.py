@@ -14,6 +14,11 @@ import random
 import numpy as np
 import pytest
 
+# Interpret-mode Pallas on CPU is ~10 min for this module alone; the same
+# math is covered fast by the golden-model tests (test_field/test_ntt/
+# test_mxu_ntt), so the differential layer runs in the nightly tier.
+pytestmark = pytest.mark.slow
+
 from ligero_prover_tpu.field import bn254 as F
 from ligero_prover_tpu.field.limbs import ints_to_limbs, limbs_to_ints
 from ligero_prover_tpu.ops import ntt

@@ -26,6 +26,21 @@ ALL_WATS = sorted(os.path.basename(p)
 
 ARGS = [b"Ligero\x00"]
 
+# Fast-tier representatives: one per opcode family (add/sub carry paths,
+# mul decompose, div oracle, bitwise, shifts, bit scans, compares, floats,
+# secret-tag memory ops).  Everything else proves end-to-end in the slow
+# (nightly) tier only.
+FAST_WATS = {
+    "i32_add.wat", "i64_sub.wat", "i64_mul.wat", "i32_div_s.wat",
+    "i64_xor.wat", "i32_shl.wat", "i64_clz.wat", "i32_lt_s.wat",
+    "f64.wat", "memory_fill_clears_secret_tag.wat",
+}
+
+PROVE_PARAMS = [
+    (w if w in FAST_WATS else pytest.param(w, marks=pytest.mark.slow))
+    for w in ALL_WATS
+]
+
 
 @pytest.mark.parametrize("wat", ALL_WATS)
 def test_execute_witness_pipeline(wat):
@@ -36,7 +51,7 @@ def test_execute_witness_pipeline(wat):
     assert ctx.rows > 0 or wat.startswith("memory")
 
 
-@pytest.mark.parametrize("wat", ALL_WATS)
+@pytest.mark.parametrize("wat", PROVE_PARAMS)
 def test_prove_verify(wat, shared_executor):
     from ligero_prover_tpu.params import RowGeometry
     from ligero_prover_tpu.prover import prove
