@@ -162,6 +162,28 @@ def main():
                   dt2 / batch + dt3 / batch)
     detail["prover_3stage_rows_per_s"] = round(full, 1)
 
+    # end-to-end prove at production geometry: a vbn254fr Poseidon-style
+    # round loop (bench/e2e_prove.py's guest) through the REAL pipeline —
+    # interpreter + witness manager + batched device stages + row-tape
+    # stage-3 replay.  Measures the front-end share VERDICT r4 flagged.
+    try:
+        from bench.e2e_prove import make_wat
+        from ligero_prover_tpu.params import RowGeometry
+        from ligero_prover_tpu.prover import prove
+        from ligero_prover_tpu.vm.run import make_wat_program
+        rounds = 400
+        prog = make_wat_program(make_wat(rounds), [], set())
+        geometry = RowGeometry(k=K)
+        prove(prog, geometry=geometry, encoding_seed=bytes(32))  # warm jits
+        t0 = time.perf_counter()
+        res = prove(prog, geometry=geometry, encoding_seed=bytes(32))
+        e2e_wall = time.perf_counter() - t0
+        assert res.ok
+        detail["prove_e2e_rows_per_s"] = round(res.num_rows / e2e_wall, 1)
+        detail["prove_e2e_rows"] = res.num_rows
+    except Exception as e:  # never lose the headline to the e2e add-on
+        detail["prove_e2e_error"] = repr(e)[:120]
+
     # roofline
     detail["mxu_macs_per_row_G"] = round(MACS_PER_ROW / 1e9, 1)
     detail["mxu_util_pct"] = round(

@@ -175,8 +175,17 @@ class VMContext:
 
 
 class Interpreter:
-    def __init__(self, ctx: VMContext):
+    def __init__(self, ctx: VMContext, count_ops: bool = False):
         self.ctx = ctx
+        # opcode-frequency counters (``interpreter_impl.hpp:54-103``):
+        # opt-in (LIGERO_OPCOUNT=1 via vm/run.py) — None keeps the
+        # dispatch loop branchless-cheap.
+        self.op_counts: dict[str, int] | None = {} if count_ops else None
+
+    def report_op_counts(self, top: int = 20) -> list[tuple[str, int]]:
+        if not self.op_counts:
+            return []
+        return sorted(self.op_counts.items(), key=lambda kv: -kv[1])[:top]
 
     # ==================== function invocation ====================
 
@@ -219,9 +228,12 @@ class Interpreter:
         ctrl: list[tuple] = []
         pc = 0
         dispatch = self.dispatch
+        counts = self.op_counts
         while True:
             instr = code[pc]
             op = instr[0]
+            if counts is not None:
+                counts[op] = counts.get(op, 0) + 1
             if op == "end_function":
                 return
             if op == "block":

@@ -14,10 +14,12 @@ def run_program(module: Module, zkctx, args: list[bytes],
                 private_indices: set[int], strict: bool = False):
     """Execute the module's `_start` against a ZK stage context, then
     finalize (flush partial rows + ZK masks)."""
+    import os
     ctx = VMContext(zkctx)
     store = Store()
     ctx.store = store
-    interp = Interpreter(ctx)
+    interp = Interpreter(ctx,
+                         count_ops=os.environ.get("LIGERO_OPCOUNT") == "1")
     inst = instantiate(store, module)
     ctx.module = inst
 
@@ -48,6 +50,10 @@ def run_program(module: Module, zkctx, args: list[bytes],
     for m in ctx.host_modules.values():
         m.finalize()
     zkctx.finalize()
+    if interp.op_counts is not None:
+        print("opcode frequencies (top 20):")
+        for op, cnt in interp.report_op_counts():
+            print(f"  {op:<24s} {cnt}")
     if strict and ctx.assert_failures:
         raise WasmTrap(f"{ctx.assert_failures} assertion failures")
 

@@ -93,7 +93,12 @@ def _absorb_stream_planar(state, pending, has_pending, cws, valid_count):
         block = jnp.concatenate([pair[:, 0], pair[:, 1]], axis=0)  # (16, C)
         return jnp.where(i < pairs, jsha.transform(st, block), st), None
 
-    state, _ = jax.lax.scan(body, state, jnp.arange(nblocks))
+    # unroll=8: the per-step launch overhead dominated the scanned absorb
+    # (measured 3.15 -> 1.65 ms/batch at B=32, n=32768); 8 keeps the
+    # serialized executable at ~half the size of the full unroll that
+    # previously choked the tunnel's executable load.
+    state, _ = jax.lax.scan(body, state, jnp.arange(nblocks),
+                            unroll=min(8, nblocks))
     idx = jnp.clip(start + 2 * pairs, 0, bsz)
     new_pending = jax.lax.dynamic_slice_in_dim(
         stream, idx, 1, axis=1)[:, 0].T

@@ -96,15 +96,34 @@ class WitnessManager:
         self.linear_counter = 0
         self.quadratic_counter = 0
         self.live_witnesses = 0
+        # recycle pools (``util/recycle_pool.hpp:1-95``): a secret i32.add
+        # allocates ~35 LazyWitness objects x3 program executions; reusing
+        # released ones keeps the front-end off the allocator
+        self._wit_pool: list[LazyWitness] = []
+        self._slot_pool: list[QuadraticSlot] = []
 
     # -- acquisition ------------------------------------------------------
 
     def acquire_witness(self, value: int = 0) -> LazyWitness:
-        w = LazyWitness()
+        if self._wit_pool:
+            w = self._wit_pool.pop()
+            w.random = 0
+            w.slot = None
+            w.slot_offset = -1
+        else:
+            w = LazyWitness()
         w.is_witness = True
         w.value = value
         self.live_witnesses += 1
         return w
+
+    def acquire_slot(self) -> QuadraticSlot:
+        if self._slot_pool:
+            s = self._slot_pool.pop()
+            s.witnesses[0] = s.witnesses[1] = s.witnesses[2] = None
+            s.ready[0] = s.ready[1] = s.ready[2] = False
+            return s
+        return QuadraticSlot()
 
     # -- commit / release -------------------------------------------------
 
@@ -124,6 +143,8 @@ class WitnessManager:
         if self.policy.enable_linear_check:
             self.linear_random.append(wit.random)
         self.live_witnesses -= 1
+        wit.is_witness = False
+        self._wit_pool.append(wit)
 
     def _commit_quadratic(self, slot: QuadraticSlot):
         if len(self.quadratic_val[0]) >= self.l:
@@ -134,6 +155,9 @@ class WitnessManager:
             if self.policy.enable_linear_check:
                 self.quadratic_random[i].append(ws.random)
             self.live_witnesses -= 1
+            ws.is_witness = False
+            self._wit_pool.append(ws)
+        self._slot_pool.append(slot)
 
     # -- row flushing -----------------------------------------------------
 
@@ -273,7 +297,7 @@ class WitnessManager:
         first, as ``witness_manager.hpp:477-495``.  `release` is the
         backend's commit_release callback used for clone bookkeeping.
         """
-        slot = QuadraticSlot()
+        slot = self.acquire_slot()
         for i, w in enumerate((a, b, c)):
             if w.slot is not None:
                 tmp = self.acquire_witness(w.value)

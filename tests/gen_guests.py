@@ -409,10 +409,14 @@ def gen_ecdsa() -> str:
     r_h = slots(2)          # r1 limbs   (from secret x_abs bytes)
     k_h = slots(4)          # public k limbs
     nc1 = slots(5)          # |t1|*k no-carry
+    sum1 = slots(5)         # nc1 + r1 (fresh handles: a rewrite after
+    #                         big_mul_nc's poly constraint would break the
+    #                         linear-test randomness calculus)
     lhs_h = slots(6)        # proper LHS
     s_h = slots(3)          # public |s1| limbs
     n_h = slots(4)          # public n limbs
     nc2 = slots(6)          # |s1|*n no-carry
+    sum2 = slots(6)         # nc2 + r1
     rhs_h = slots(7)        # proper RHS
     q_h = slots(8)          # Q.x/Q.y limbs (from secret scalar_mul output)
     sgn_h = slots(2)
@@ -433,8 +437,8 @@ def gen_ecdsa() -> str:
     call(f"(call $sdec (i32.const {CURVE_P256}) (i32.const {XABS}) "
          f"(i32.const {XSGN}) (i32.const {ZABS}) (i32.const {ZSGN}) "
          f"(i32.const {KB}) (i32.const 32))")
-    for h in (t_h + r_h + k_h + nc1 + lhs_h + s_h + n_h + nc2 + rhs_h +
-              q_h + sgn_h):
+    for h in (t_h + r_h + k_h + nc1 + sum1 + lhs_h + s_h + n_h + nc2 +
+              sum2 + rhs_h + q_h + sgn_h):
         call(f"(call $alloc (i32.const {h}))")
     # secret loads: |t1| and r1=|x| from the decompose output buffers
     for i, h in enumerate(t_h):
@@ -450,24 +454,35 @@ def gen_ecdsa() -> str:
         call(f"(call $set_u64 (i32.const {h}) (i64.const {v - (v >> 63) * (1 << 64)}))")
     for h, v in zip(n_h, limbs64(P256_N, 4)):
         call(f"(call $set_u64 (i32.const {h}) (i64.const {v - (v >> 63) * (1 << 64)}))")
+    def add_r1_into(nc, summ):
+        """summ = nc + [r1_lo, r1_hi, 0...] via fresh result handles
+        (addmod for the low two limbs, copy for the rest)."""
+        for i in range(len(nc)):
+            if i < 2:
+                call(f"(call $addmod (i32.const {summ[i]}) "
+                     f"(i32.const {nc[i]}) (i32.const {r_h[i]}))")
+            else:
+                call(f"(call $fcopy (i32.const {summ[i]}) "
+                     f"(i32.const {nc[i]}))")
+
     # LHS: |t1|*k (poly-identity constrained), optionally + r1
     call(f"(call $big_mul_nc (i32.const {nc1[0]}) (i32.const {t_h[0]}) "
          f"(i32.const {k_h[0]}) (i32.const 2) (i32.const 4))")
+    lhs_src = nc1
     if lhs_has_r1:
-        for i in range(2):
-            call(f"(call $addmod (i32.const {nc1[i]}) (i32.const {nc1[i]}) "
-                 f"(i32.const {r_h[i]}))")
-    call(f"(call $to_proper (i32.const {lhs_h[0]}) (i32.const {nc1[0]}) "
-         f"(i32.const 5) (i32.const 64))")
+        add_r1_into(nc1, sum1)
+        lhs_src = sum1
+    call(f"(call $to_proper (i32.const {lhs_h[0]}) "
+         f"(i32.const {lhs_src[0]}) (i32.const 5) (i32.const 64))")
     # RHS: |s1|*n, optionally + r1
     call(f"(call $big_mul_nc (i32.const {nc2[0]}) (i32.const {s_h[0]}) "
          f"(i32.const {n_h[0]}) (i32.const 3) (i32.const 4))")
+    rhs_src = nc2
     if not lhs_has_r1:
-        for i in range(2):
-            call(f"(call $addmod (i32.const {nc2[i]}) (i32.const {nc2[i]}) "
-                 f"(i32.const {r_h[i]}))")
-    call(f"(call $to_proper (i32.const {rhs_h[0]}) (i32.const {nc2[0]}) "
-         f"(i32.const 6) (i32.const 64))")
+        add_r1_into(nc2, sum2)
+        rhs_src = sum2
+    call(f"(call $to_proper (i32.const {rhs_h[0]}) "
+         f"(i32.const {rhs_src[0]}) (i32.const 6) (i32.const 64))")
     # LHS == RHS limb by limb (RHS has one extra limb: must be zero)
     for i in range(6):
         call(f"(call $feq (i32.const {lhs_h[i]}) (i32.const {rhs_h[i]}))")
@@ -487,8 +502,8 @@ def gen_ecdsa() -> str:
              f"(i64.const {v - (v >> 63) * (1 << 64)}))")
     # release every handle (the SDK's RAII destructors; the witness
     # manager asserts zero live witnesses at finalize)
-    for h in (t_h + r_h + k_h + nc1 + lhs_h + s_h + n_h + nc2 + rhs_h +
-              q_h + sgn_h):
+    for h in (t_h + r_h + k_h + nc1 + sum1 + lhs_h + s_h + n_h + nc2 +
+              sum2 + rhs_h + q_h + sgn_h):
         call(f"(call $ffree (i32.const {h}))")
 
     body = "\n    ".join(c)
@@ -501,6 +516,7 @@ def gen_ecdsa() -> str:
     (func $sdec (param i32 i32 i32 i32 i32 i32 i32)))
   (import "bn254fr" "bn254fr_alloc" (func $alloc (param i32)))
   (import "bn254fr" "bn254fr_free" (func $ffree (param i32)))
+  (import "bn254fr" "bn254fr_copy" (func $fcopy (param i32 i32)))
   (import "bn254fr" "bn254fr_set_u64" (func $set_u64 (param i32 i64)))
   (import "bn254fr" "bn254fr_set_bytes"
     (func $set_bytes (param i32 i32 i32 i32)))

@@ -56,7 +56,11 @@ def test_guests_are_current():
             assert f.read() == src, f"{name} is stale; rerun gen_guests.py"
 
 
-@pytest.mark.parametrize("wat", ALL)
+@pytest.mark.parametrize("wat", [
+    "ecdsa_p256.wat",
+    pytest.param("poseidon2.wat", marks=pytest.mark.slow),
+    pytest.param("bit_decompose.wat", marks=pytest.mark.slow),
+])
 def test_prove_verify(wat, shared_executor):
     from ligero_prover_tpu.params import RowGeometry
     from ligero_prover_tpu.prover import prove

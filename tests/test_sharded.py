@@ -47,6 +47,7 @@ def test_sharded_prove_bit_identical(mesh, shared_executor, monkeypatch):
     assert sharded.proof == single.proof
 
 
+@pytest.mark.slow
 def test_sharded_proof_verifies(mesh, shared_executor, monkeypatch):
     monkeypatch.setenv("LIGERO_PROOF_TIMESTAMP", "1700000000")
     prog = _wat("i32_sub.wat")

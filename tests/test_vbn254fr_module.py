@@ -169,10 +169,12 @@ def test_vbn254fr_prove_verify(shared_executor):
     assert res.num_rows >= 13
 
 
+@pytest.mark.slow
 def test_vbn254fr_constants_prove_verify(shared_executor):
     _roundtrip(CONST_WAT, shared_executor)
 
 
+@pytest.mark.slow
 def test_vbn254fr_vector_prove_verify(shared_executor):
     _roundtrip(VEC_WAT, shared_executor)
 
@@ -188,6 +190,7 @@ def test_vbn254fr_bits_null():
     assert ctx.rows == 258  # 1 init + 254 bit rows + 3 mask rows
 
 
+@pytest.mark.slow
 def test_vbn254fr_tamper_detected(shared_executor):
     """A lying mulmod (patched arena) must break verification."""
     from ligero_prover_tpu.params import RowGeometry

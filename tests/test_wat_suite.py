@@ -31,9 +31,7 @@ ARGS = [b"Ligero\x00"]
 # secret-tag memory ops).  Everything else proves end-to-end in the slow
 # (nightly) tier only.
 FAST_WATS = {
-    "i32_add.wat", "i64_sub.wat", "i64_mul.wat", "i32_div_s.wat",
-    "i64_xor.wat", "i32_shl.wat", "i64_clz.wat", "i32_lt_s.wat",
-    "f64.wat", "memory_fill_clears_secret_tag.wat",
+    "i32_add.wat", "i64_mul.wat", "i32_div_s.wat", "f64.wat",
 }
 
 PROVE_PARAMS = [
