@@ -73,13 +73,16 @@ def _stage3_replay(executor, tape: RowTape, sample_index) -> list:
     for width, cnt, batch in tape.replay():
         outs.append((cnt, executor.open_step(
             batch, idx, width_2k=width != executor.k)))
-    # one device->host fetch at the end instead of one per batch (the
-    # per-batch fetch serialized the whole stage on transfer latency)
-    host: list[np.ndarray] = []
-    for cnt, out in outs:
-        arr = np.asarray(out, np.uint32)
-        host.extend(arr[i] for i in range(cnt))
-    return host
+    # ONE device->host fetch for the whole stage: valid rows of every
+    # batch are device-concatenated first.  Profiled: per-batch
+    # np.asarray cost ~54 ms EACH through the axon tunnel — 79 fetches
+    # were 4.3 s of a 9.7 s e2e prove.
+    import jax.numpy as jnp
+    if not outs:
+        return []
+    flat = jnp.concatenate([out[:cnt] for cnt, out in outs], axis=0)
+    arr = executor.fetch(flat)
+    return [arr[i] for i in range(arr.shape[0])]
 
 
 def prove(program, *, geometry: RowGeometry = RowGeometry(),

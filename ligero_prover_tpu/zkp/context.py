@@ -14,6 +14,8 @@ is consumed inside the witness manager during row padding.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import numpy as np
 
 from ..field import bn254 as F
@@ -120,7 +122,17 @@ def _stack_batch(queue, bsz: int, width: int):
     import jax.numpy as jnp
     zero = jnp.zeros((width, NLIMB), jnp.uint32)
     rows = [jnp.asarray(r) for r in queue] + [zero] * (bsz - cnt)
-    return jnp.stack(rows)
+    # jitted stack: eager jnp.stack dispatches per-element reshapes plus
+    # a concatenate — ~8 ms per flush through the tunnel (profiled);
+    # one jitted call is a single dispatch
+    return _jit_stack(len(rows))(*rows)
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit_stack(arity: int):
+    import jax
+    import jax.numpy as jnp
+    return jax.jit(lambda *rs: jnp.stack(rs))
 
 
 class RowTape:
