@@ -73,7 +73,7 @@ def load_config(jstr: str):
     input_args = parse_args_field(jconfig)
     private_indices = set(jconfig.get("private-indices", []))
     program_path = jconfig["program"]
-    batch_rows = jconfig.get("batch-rows", 32)
+    batch_rows = jconfig.get("batch-rows", 16)  # BENCH r5: b16 optimal (full-unroll absorb)
     return geometry, input_args, private_indices, program_path, batch_rows
 
 

@@ -67,7 +67,7 @@ class ShardedExecutor(TpuExecutor):
     _use_mxu = staticmethod(lambda: False)
 
     def __init__(self, k: int, n: int, mesh: Mesh | None = None,
-                 batch_rows: int = 32):
+                 batch_rows: int = 16):
         super().__init__(k, n, batch_rows)
         self.mesh = mesh if mesh is not None else make_mesh()
         D = self.mesh.devices.size

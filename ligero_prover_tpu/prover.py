@@ -91,7 +91,7 @@ def prove(program, *, geometry: RowGeometry = RowGeometry(),
           encoding_seed: bytes | None = None,
           executor: TpuExecutor | None = None,
           mesh=None,
-          batch_rows: int = 32,
+          batch_rows: int = 16,
           row_tape: bool = True) -> ProveResult:
     """`mesh`: a jax.sharding.Mesh with a "cols" axis — runs the stage
     pipelines column-sharded across its devices (parallel/mesh.py); the

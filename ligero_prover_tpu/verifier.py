@@ -62,7 +62,7 @@ def verify(program, proof_blob: bytes, *,
            geometry: RowGeometry = RowGeometry(),
            instance_hash: bytes = bytes(32),
            executor: TpuExecutor | None = None,
-           batch_rows: int = 32) -> VerifyResult:
+           batch_rows: int = 16) -> VerifyResult:
     k, l, n = geometry.k, geometry.l, geometry.n
     if executor is None:
         executor = TpuExecutor(k, n, batch_rows)

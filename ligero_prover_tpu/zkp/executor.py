@@ -339,7 +339,7 @@ class TpuExecutor:
     _verify = staticmethod(_verify_jit)
     _verify_mask = staticmethod(_verify_mask_jit)
 
-    def __init__(self, k: int, n: int, batch_rows: int = 32):
+    def __init__(self, k: int, n: int, batch_rows: int = 16):
         self.k, self.n = k, n
         self.codec = RSCodec(k, n)
         self.batch_rows = batch_rows

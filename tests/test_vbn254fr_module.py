@@ -179,6 +179,7 @@ def test_vbn254fr_vector_prove_verify(shared_executor):
     _roundtrip(VEC_WAT, shared_executor)
 
 
+@pytest.mark.slow
 def test_vbn254fr_bits_prove_verify(shared_executor):
     _roundtrip(BITS_WAT, shared_executor)
 

@@ -31,7 +31,8 @@ ARGS = [b"Ligero\x00"]
 # secret-tag memory ops).  Everything else proves end-to-end in the slow
 # (nightly) tier only.
 FAST_WATS = {
-    "i32_add.wat", "i64_mul.wat", "i32_div_s.wat", "f64.wat",
+    "i32_add.wat",    # linear/carry witness path
+    "i32_div_s.wat",  # div oracle + bit decompose + range checks
 }
 
 PROVE_PARAMS = [
