@@ -140,6 +140,14 @@ class ShardedExecutor(TpuExecutor):
         replicated across hosts by construction."""
         if not isinstance(x, jax.Array) or x.is_fully_addressable:
             return np.asarray(x, np.uint32)
-        rep = jax.jit(lambda a: a, out_shardings=NamedSharding(
-            self.mesh, P()))(x)
+        rep = self._replicate(x)
         return np.asarray(rep.addressable_data(0), np.uint32)
+
+    @property
+    def _replicate(self):
+        fn = self.__dict__.get("_replicate_fn")
+        if fn is None:
+            fn = jax.jit(lambda a: a, out_shardings=NamedSharding(
+                self.mesh, P()))
+            self.__dict__["_replicate_fn"] = fn
+        return fn
